@@ -1,0 +1,192 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftParams
+import graft.build.Tables
+import graft.model.{IndexStats, SearchHit}
+import graft.query._
+import graft.store.TableIO
+import graft.text.TextPipeline
+
+/** Distributed BM25 search over the index tables.
+  *
+  * The reference loads the whole index into driver memory and scores dense
+  * per-corpus vectors (/root/reference/source/BM25Ranker.cpp:26-30,311-319).
+  * Here a score vector is a sparse (docId, score) DataFrame plus the score
+  * every absent doc implicitly holds (`default`) — an exact, lazy encoding
+  * of the dense algebra: NOT flips the default to 1−d instead of
+  * materializing 10^12 rows; only the final top-k pass densifies, and only
+  * when the default can still reach the result set.
+  *
+  * Per-term scoring is pure Catalyst column arithmetic over a term-pruned
+  * scan of the (term, docId)-sorted postings table — parquet min/max on
+  * `term` makes the lookup a near-point read. No UDF in the hot path.
+  */
+final class SparkSearchEngine(
+    spark: SparkSession,
+    io: TableIO,
+    val params: GraftParams = GraftParams()) {
+  import spark.implicits._
+
+  lazy val stats: IndexStats = {
+    val r = io.read(Tables.Stats).as[(Long, Double)].head()
+    IndexStats(r._1, r._2)
+  }
+  private lazy val postings = io.read(Tables.Postings)
+  private lazy val dict = io.read(Tables.DocDict)
+
+  /** sparse frame (docId: Long, score: Double) + implicit default score */
+  final case class Scores(df: DataFrame, default: Double)
+
+  private def emptyFrame: DataFrame =
+    spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+
+  /** BM25 column — identical operation order to the oracle / reference
+    * (BM25Ranker.cpp:431-437) so scores are bit-identical, not just close. */
+  private def bm25Col(tf: Column, dl: Column, dfCount: Double): Column = {
+    val idf = math.log((stats.total_docs - dfCount + 0.5) / (dfCount + 0.5) + 1)
+    val docNorm = lit(1 - params.b) + lit(params.b) * (dl.cast("double") / lit(stats.avg_doc_len))
+    val tfD = tf.cast("double")
+    lit(idf) * ((tfD * lit(params.k1 + 1)) / (tfD + lit(params.k1) * docNorm))
+  }
+
+  /** max over the conceptually-dense vector, then divide; the default only
+    * competes when some doc is absent from the sparse frame. */
+  private def maxNormalize(s: Scores): Scores = {
+    val (mx, cnt) = s.df.agg(max($"score"), count(lit(1))).as[(Option[Double], Long)].head()
+    val sparseMax = mx.getOrElse(0.0)
+    val trueMax = if (cnt >= stats.total_docs) sparseMax else math.max(sparseMax, s.default)
+    if (trueMax > 0)
+      Scores(s.df.select($"docId", ($"score" / lit(trueMax)).as("score")), s.default / trueMax)
+    else s
+  }
+
+  object Algebra extends ScoreAlgebra[Scores] {
+    override def empty: Scores = Scores(emptyFrame, 0.0)
+
+    override def termScore(rawTerm: String): Scores = {
+      val key = if (params.stemBareTerms) TextPipeline.term(rawTerm) else rawTerm
+      val rows = postings.filter($"term" === key)
+      val dfCount = rows.count().toDouble
+      if (dfCount == 0) return empty
+      val scored = rows.select($"docId",
+        bm25Col($"tf", $"doc_len", dfCount).as("score"))
+      maxNormalize(Scores(scored, 0.0))
+    }
+
+    override def phraseScore(phraseText: String): Scores = {
+      val stems = TextPipeline.tokenizeQuery(phraseText)
+      if (stems.isEmpty) return empty
+      val first = stems.head
+      val rows = postings
+        .filter($"term".isin(stems.distinct: _*))
+        .select($"docId", $"doc_len", $"term", $"positions")
+      // one shuffle on docId; the positional fold is doc-local
+      val perDoc = rows
+        .groupBy($"docId", $"doc_len")
+        .agg(collect_list(struct($"term", $"positions")).as("tp"))
+        .as[(Long, Int, Seq[(String, Seq[Int])])]
+      // cached: the phrase frame feeds df-count, max and the final scores;
+      // stays distributed (a head phrase can match millions of docs)
+      val tfs = perDoc.map { case (docId, dl, tp) =>
+        (docId, dl, PhraseMatch.phraseTf(stems, tp.toMap))
+      }.filter(_._3 > 0).toDF("docId", "doc_len", "tf").cache()
+      val dfCount = tfs.count().toDouble
+      if (dfCount == 0) return empty
+      val scored = tfs.select($"docId", bm25Col($"tf", $"doc_len", dfCount).as("score"))
+      maxNormalize(Scores(scored, 0.0))
+    }
+
+    override def not(a: Scores): Scores =
+      Scores(a.df.select($"docId", (lit(1.0) - $"score").as("score")), 1.0 - a.default)
+
+    private def combine(a: Scores, b: Scores, f: (Column, Column) => Column, d: Double): Scores = {
+      val l = a.df.select($"docId", $"score".as("s1"))
+      val r = b.df.select($"docId", $"score".as("s2"))
+      val j = l.join(r, Seq("docId"), "full_outer").select($"docId",
+        f(coalesce($"s1", lit(a.default)), coalesce($"s2", lit(b.default))).as("score"))
+      Scores(j, d)
+    }
+
+    override def and(a: Scores, b: Scores): Scores =
+      combine(a, b, least(_, _), math.min(a.default, b.default))
+    override def or(a: Scores, b: Scores): Scores =
+      combine(a, b, greatest(_, _), math.max(a.default, b.default))
+    override def add(a: Scores, b: Scores, wa: Double, wb: Double): Scores =
+      combine(a, b, (x, y) => lit(wa) * x + lit(wb) * y, wa * a.default + wb * b.default)
+    override def normalize(a: Scores): Scores = maxNormalize(a)
+  }
+
+  /** Evaluate a query to its (still lazy/sparse) score vector. */
+  def scores(query: String): Scores =
+    QueryEvaluator.evaluate(query, Algebra, params)
+
+  /** Top-k (score desc, docId asc) after the accuracy filter
+    * (BM25Ranker.cpp:40-42 + our defined tiebreak, SURVEY.md §7). Densifies
+    * against the doc dictionary only when absent docs can still qualify. */
+  def topK(s: Scores, accuracy: Double, k: Int): Vector[(Long, Double)] = {
+    val sparseTop = s.df
+      .filter($"score" >= accuracy)
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+      .as[(Long, Double)].collect().toVector
+    val defaultQualifies = s.default >= accuracy
+    val needFill = defaultQualifies &&
+      (sparseTop.length < k || sparseTop.last._2 <= s.default)
+    if (!needFill) sparseTop
+    else {
+      val absent = dict.select($"docId")
+        .join(s.df.select($"docId"), Seq("docId"), "left_anti")
+        .orderBy($"docId".asc).limit(k)
+        .as[Long].collect().toVector.map(d => (d, s.default))
+      (sparseTop ++ absent).sortBy { case (d, sc) => (-sc, d) }.take(k)
+    }
+  }
+
+  /** Full search with snippets over the source turns table. */
+  def search(query: String, turns: DataFrame, accuracy: Double = 0.0): Vector[SearchHit] = {
+    val top = topK(scores(query), accuracy, params.topK)
+    if (top.isEmpty) return Vector.empty
+    val ids = top.map(_._1)
+    val byId = top.toMap
+    val keys = Snippeter.queryKeys(query, params.stemBareTerms)
+    val weights = QueryEvaluator.wordsAndPhrasesWeights(query)
+    val hits = dict.filter($"docId".isin(ids: _*))
+      .join(turns, Seq("conv_id", "turn_idx"))
+      .select($"docId", $"conv_id", $"turn_idx", $"text")
+      .as[(Long, String, Int, String)].collect()
+    hits.map { case (docId, convId, turnIdx, text) =>
+      SearchHit(docId, convId, turnIdx, byId(docId), text,
+        Snippeter.snippet(text, keys, weights))
+    }.sortBy(h => (-h.score, h.docId)).toVector
+  }
+
+  /** DataFrame variant for the driver harness (SparkEntry). */
+  def searchFrame(query: String, accuracy: Double = 0.0, k: Int = 100): DataFrame = {
+    val top = topK(scores(query), accuracy, k)
+    spark.createDataset(top).toDF("docId", "score")
+      .join(dict, Seq("docId"), "left")
+      .select($"docId", $"conv_id", $"turn_idx", $"score")
+      .orderBy($"score".desc, $"docId".asc)
+  }
+}
+
+/** The phrase positional fold, doc-local form — equivalent to the
+  * reference's global iteration (BM25Ranker.cpp:439-491) and unit-tested
+  * against the oracle's independent global-fold transcription. */
+object PhraseMatch {
+  def phraseTf(stems: Seq[String], termPos: Map[String, Seq[Int]]): Int = {
+    if (stems.isEmpty || !termPos.contains(stems.head)) return 0
+    var meta: Seq[Int] = termPos(stems.head)
+    stems.foreach { t =>
+      termPos.get(t) match {
+        case Some(occ) =>
+          val cur = meta.toSet
+          meta = occ.collect { case p if cur.contains(p) => p + 1 }
+        case None => ()
+      }
+    }
+    meta.size
+  }
+}

@@ -1,0 +1,162 @@
+package graft.build
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.store.TableIO
+import graft.text.TextPipeline
+import graft.codec.VarByte
+
+object Tables {
+  val PostingsRaw = "postings_raw"
+  val DocDict = "doc_dict"
+  val Stats = "stats"
+  val TermStats = "term_stats"
+  val Postings = "postings"
+  val Blocks = "index_blocks"
+  val Lineage = "lineage"
+}
+
+final case class StageMetric(stage: String, rows: Long, wallMs: Long, skipped: Boolean)
+
+/** Distributed inverted-index build.
+  *
+  * Replaces the reference's thread-pool batch indexer
+  * (/root/reference/source/InvertedIndex.cpp:11-109): instead of per-batch
+  * in-memory maps merged on read (DataBase.cpp:32-89, InvertedIndex.cpp:248-283),
+  * each stage is a declarative Spark job writing a checkpointed table:
+  *
+  *   raw      turns → dense docId (global (conv_id, turn_idx) rank) →
+  *            single-pass tokenize/normalize/stem → one posting row per
+  *            (term, doc) + one sentinel row per doc carrying dict columns.
+  *            tf/positions are doc-local, so this stage needs NO shuffle
+  *            beyond the range partitioning for id assignment.
+  *   dict     sentinel rows → docID↔(conv_id,turn_idx) dictionary (north rule)
+  *   stats    corpus count + avg doc length (reference metadata singleton)
+  *   terms    per-term df/ctf — map-side partial agg, shuffles only the
+  *            tiny (term, counts) pairs
+  *   postings flat index sorted by (term, docId): parquet min/max on `term`
+  *            makes a term lookup a near-point read at any scale
+  *   blocks   delta+varbyte block-max cells (≤ blockSize postings each) for
+  *            WAND pruning; bounded row size even for `the`-class terms
+  *            (stop words are NOT removed — SURVEY.md §1.3)
+  *
+  * Resume: a stage whose output table already committed (parquet _SUCCESS)
+  * is skipped — the scalable analogue of the reference's per-document
+  * `processed` flag (InvertedIndex.cpp:29-46). Per-partition lineage rows
+  * with row counts and wall time are appended per stage.
+  */
+final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096) {
+  import spark.implicits._
+
+  private def runStage(name: String, resume: Boolean, metrics: scala.collection.mutable.ArrayBuffer[StageMetric])(body: => Unit): Unit = {
+    if (resume && io.exists(name)) {
+      metrics += StageMetric(name, -1L, 0L, skipped = true)
+      return
+    }
+    val t0 = System.nanoTime()
+    body
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    // per-partition lineage from the committed table (count(*) per split is
+    // served from parquet row-group metadata — no column decode)
+    val perPart = io.read(name)
+      .groupBy(spark_partition_id().as("partition_id")).count()
+      .as[(Int, Long)].collect()
+    val rows = perPart.map(_._2).sum
+    val lineage = perPart.map { case (pid, n) => LineageRow(name, pid, "done", n, wallMs) } :+
+      LineageRow(name, -1, "done", rows, wallMs)
+    io.append(spark.createDataset(lineage.toIndexedSeq).toDF(), Tables.Lineage)
+    metrics += StageMetric(name, rows, wallMs, skipped = false)
+  }
+
+  /** Dense docId = global rank under (conv_id, turn_idx) ordering.
+    * Range-partition + in-partition sort gives a total order at any
+    * parallelism; zipWithIndex is the one justified RDD drop-down (dense
+    * rank needs the two-pass per-partition offset sum — a single-partition
+    * window would not scale). */
+  private def withDocIds(turns: Dataset[Turn]): Dataset[(Long, Turn)] = {
+    val sorted = turns
+      .repartitionByRange(col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+    spark.createDataset(sorted.rdd.zipWithIndex().map { case (t, id) => (id, t) })
+  }
+
+  def build(turns: Dataset[Turn], resume: Boolean = false): Seq[StageMetric] = {
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetric]
+    if (!resume) io.drop(Tables.Lineage)
+
+    runStage(Tables.PostingsRaw, resume, metrics) {
+      val raw = withDocIds(turns).mapPartitions { iter =>
+        iter.flatMap { case (docId, turn) =>
+          val (docLen, terms) = TextPipeline.analyze(turn.text)
+          val sentinel = RawIndexRow("", docId, 0, docLen, Array.empty[Int],
+            turn.conv_id, turn.turn_idx)
+          val postings = terms.iterator.map { case (term, poss) =>
+            RawIndexRow(term, docId, poss.length, docLen, poss.toArray, null, -1)
+          }
+          Iterator.single(sentinel) ++ postings
+        }
+      }
+      io.write(raw.toDF(), Tables.PostingsRaw)
+    }
+
+    lazy val raw = io.read(Tables.PostingsRaw)
+
+    runStage(Tables.DocDict, resume, metrics) {
+      val dict = raw.filter(col("term") === "")
+        .select(col("docId"), col("conv_id"), col("turn_idx"), col("doc_len"))
+      io.write(dict, Tables.DocDict, sortCols = Seq("docId"))
+    }
+
+    runStage(Tables.Stats, resume, metrics) {
+      val stats = io.read(Tables.DocDict)
+        .agg(count(lit(1)).as("total_docs"), avg(col("doc_len")).as("avg_doc_len"))
+      io.write(stats.coalesce(1), Tables.Stats)
+    }
+
+    runStage(Tables.TermStats, resume, metrics) {
+      val ts = raw.filter(col("term") =!= "")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      io.write(ts, Tables.TermStats, sortCols = Seq("term"))
+    }
+
+    runStage(Tables.Postings, resume, metrics) {
+      val postings = raw.filter(col("term") =!= "")
+        .select("term", "docId", "tf", "doc_len", "positions")
+        .repartitionByRange(col("term"), col("docId"))
+        .sortWithinPartitions("term", "docId")
+      io.write(postings, Tables.Postings)
+    }
+
+    runStage(Tables.Blocks, resume, metrics) {
+      val bs = blockSize
+      val blocks = io.read(Tables.Postings)
+        .select("term", "docId", "tf", "doc_len", "positions")
+        .as[PostingRow]
+        .mapPartitions { iter =>
+          // rows arrive (term, docId)-sorted within each split; emit
+          // ≤ bs-posting blocks per consecutive term run
+          new Iterator[IndexBlock] {
+            private val it = iter.buffered
+            def hasNext: Boolean = it.hasNext
+            def next(): IndexBlock = {
+              val term = it.head.term
+              val buf = scala.collection.mutable.ArrayBuffer.empty[VarByte.Posting]
+              var maxTf = 0; var minDl = Int.MaxValue
+              while (it.hasNext && it.head.term == term && buf.size < bs) {
+                val p = it.next()
+                maxTf = math.max(maxTf, p.tf); minDl = math.min(minDl, p.doc_len)
+                buf += VarByte.Posting(p.docId, p.tf, p.doc_len, p.positions)
+              }
+              IndexBlock(term, buf.head.docId, buf.last.docId, buf.size,
+                maxTf, minDl, VarByte.encodeBlock(buf.toSeq))
+            }
+          }
+        }
+      io.write(blocks.toDF(), Tables.Blocks, sortCols = Seq("term", "min_doc"))
+    }
+
+    metrics.toSeq
+  }
+}

@@ -1,0 +1,93 @@
+package graft.codec
+
+import java.io.{ByteArrayOutputStream}
+
+/** Variable-byte (7-bit continuation) + delta codec for posting blocks.
+  *
+  * The reference persists one uncompressed BSON document per term
+  * (/root/reference/source/DataBase.cpp:32-89). At 10^12-turn scale the
+  * head-term posting lists must be compressed and split into bounded
+  * blocks; this codec packs a sorted run of postings into one binary cell:
+  *
+  *   block := varint(n)
+  *            n × varint(docId delta)        // vs previous docId (first vs 0)
+  *            n × ( varint(tf) varint(docLen)
+  *                  tf × varint(position delta) )  // positions sorted asc
+  *
+  * Pure Scala over Array[Byte]; used inside typed map stages (a custom
+  * Catalyst Expression adds nothing for v1 — SURVEY.md §4.3).
+  */
+object VarByte {
+
+  def writeVarLong(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    require(v >= 0, s"varint requires non-negative, got $v")
+    while ((v & ~0x7fL) != 0L) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  final class Reader(bytes: Array[Byte]) {
+    private var pos = 0
+    def readVarLong(): Long = {
+      var shift = 0; var result = 0L
+      var b = bytes(pos); pos += 1
+      while ((b & 0x80) != 0) {
+        result |= (b & 0x7fL) << shift
+        shift += 7
+        b = bytes(pos); pos += 1
+      }
+      result | ((b & 0x7fL) << shift)
+    }
+    def hasMore: Boolean = pos < bytes.length
+  }
+
+  /** One posting inside a block. */
+  final case class Posting(docId: Long, tf: Int, docLen: Int, positions: Array[Int])
+
+  /** Encode postings (must be sorted by docId asc; positions asc). */
+  def encodeBlock(postings: Seq[Posting]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(postings.size * 8)
+    writeVarLong(out, postings.size.toLong)
+    var prev = 0L
+    postings.foreach { p =>
+      writeVarLong(out, p.docId - prev); prev = p.docId
+    }
+    postings.foreach { p =>
+      writeVarLong(out, p.tf.toLong)
+      writeVarLong(out, p.docLen.toLong)
+      var prevPos = 0L
+      var i = 0
+      while (i < p.positions.length) {
+        writeVarLong(out, p.positions(i) - prevPos)
+        prevPos = p.positions(i).toLong
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  def decodeBlock(bytes: Array[Byte]): Array[Posting] = {
+    val r = new Reader(bytes)
+    val n = r.readVarLong().toInt
+    val docIds = new Array[Long](n)
+    var prev = 0L
+    var i = 0
+    while (i < n) { prev += r.readVarLong(); docIds(i) = prev; i += 1 }
+    val out = new Array[Posting](n)
+    i = 0
+    while (i < n) {
+      val tf = r.readVarLong().toInt
+      val dl = r.readVarLong().toInt
+      val positions = new Array[Int](tf)
+      var prevPos = 0L
+      var j = 0
+      while (j < tf) { prevPos += r.readVarLong(); positions(j) = prevPos.toInt; j += 1 }
+      out(i) = Posting(docIds(i), tf, dl, positions)
+      i += 1
+    }
+    out
+  }
+}

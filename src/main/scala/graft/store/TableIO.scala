@@ -1,0 +1,49 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Thin table-persistence facade.
+  *
+  * The north rule targets Iceberg tables; this sandbox ships no Iceberg
+  * runtime jar (BASELINE.md), so the default implementation persists
+  * through parquet under a warehouse directory. On a real cluster an
+  * Iceberg-catalog implementation drops in behind the same trait
+  * (`df.writeTo(name).append()` / `MERGE INTO`) with no caller changes.
+  */
+trait TableIO {
+  def write(df: DataFrame, name: String, sortCols: Seq[String] = Nil): Unit
+  def append(df: DataFrame, name: String): Unit
+  def read(name: String): DataFrame
+  def exists(name: String): Boolean
+  def drop(name: String): Unit
+}
+
+final class ParquetTableIO(spark: SparkSession, warehouse: String) extends TableIO {
+  private def path(name: String) = s"$warehouse/$name"
+
+  /** Writes are atomic-ish: parquet commit protocol moves task files into
+    * place only on job success, so a killed build leaves no half-table
+    * visible (the _SUCCESS marker gates `exists`). */
+  override def write(df: DataFrame, name: String, sortCols: Seq[String]): Unit = {
+    val out = if (sortCols.nonEmpty)
+      df.sortWithinPartitions(sortCols.map(df.col): _*)
+    else df
+    out.write.mode(SaveMode.Overwrite).parquet(path(name))
+  }
+
+  override def append(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(name))
+
+  override def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  override def exists(name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(name), "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def drop(name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}

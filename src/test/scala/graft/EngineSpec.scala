@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.SparkSearchEngine
+import graft.build.{IndexBuilder, Tables}
+import graft.corpus.TranscriptGen
+import graft.oracle.RefOracle
+import graft.store.ParquetTableIO
+
+/** End-to-end rank/score identity: the distributed engine vs the
+  * reference-faithful in-memory oracle on the q01–q20 reference query set
+  * (FIXTURES.md §3) over the deterministic synthetic transcript corpus. */
+object EngineSpecFixture {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_wh_").toString
+
+  val Convs = 40L
+
+  lazy val built: (ParquetTableIO, RefOracle) = {
+    val io = new ParquetTableIO(spark, warehouse)
+    import spark.implicits._
+    val turns = TranscriptGen.generate(spark, Convs)
+    new IndexBuilder(spark, io, blockSize = 8).build(turns)
+    val oracle = new RefOracle(TranscriptGen.generateLocal(Convs))
+    (io, oracle)
+  }
+
+  val queries: Map[String, (String, Double)] = Map(
+    "q01" -> ("whale", 0.0),
+    "q02" -> ("blue whale", 0.0),
+    "q03" -> ("\"blue whale\"", 0.0),
+    "q04" -> ("\"\"blue whale\"\"", 0.0),
+    "q05" -> ("\"blue whale\" OR \"query engine\"", 0.0),
+    "q06" -> ("\"blue whale\" AND \"query engine\"", 0.0),
+    "q07" -> ("NOT \"blue whale\"", 0.0),
+    "q08" -> ("(\"blue whale\" OR \"query engine\") NOT \"red fish\"", 0.0),
+    "q09" -> ("\"blue whale\" whale engine", 0.0),
+    "q10" -> ("don't", 0.0),
+    "q11" -> ("state-of-the-art", 0.0),
+    "q12" -> ("running", 0.0),
+    "q13" -> ("the", 0.0),
+    "q14" -> ("\"whale blue\"", 0.0),
+    "q15" -> ("\"blue blue\"", 0.0),
+    "q16" -> ("zzzunknown", 0.0),
+    "q17" -> ("whale", 0.5),
+    "q18" -> ("not \"blue whale\"", 0.0),
+    "q19" -> ("\"a b c\"", 0.0),
+    "q20" -> ("((\"x\" AND \"y\") OR \"z\") NOT \"w\"", 0.0))
+}
+
+class EngineSpec extends AnyFunSuite {
+  import EngineSpecFixture._
+
+  test("index tables match the oracle index exactly") {
+    val (io, oracle) = built
+    import spark.implicits._
+
+    // stats
+    val (n, avg) = io.read(Tables.Stats).as[(Long, Double)].head()
+    assert(n == oracle.totalDocs)
+    assert(avg == oracle.avgDocLen, s"avgdl $avg vs ${oracle.avgDocLen}")
+
+    // doc dict: docId assignment + doc_len
+    val dict = io.read(Tables.DocDict)
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    val oracleDict = oracle.docs.map { case (id, t) =>
+      (id, t.conv_id, t.turn_idx, oracle.docLens(id)) }
+    assert(dict.toSeq == oracleDict)
+
+    // postings: full content equality
+    val got = io.read(Tables.Postings)
+      .as[(String, Long, Int, Int, Seq[Int])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val want = for {
+      (term, byDoc) <- oracle.index.toSeq
+      (docId, poss) <- byDoc
+    } yield (term, docId) -> ((poss.length, oracle.docLens(docId), poss.toSeq))
+    assert(got.size == want.size, s"posting count ${got.size} vs ${want.size}")
+    want.foreach { case (k, v) =>
+      assert(got.contains(k), s"missing posting $k")
+      assert(got(k) == v, s"posting $k: ${got(k)} vs $v")
+    }
+  }
+
+  test("compressed blocks round-trip to the same postings") {
+    val (io, oracle) = built
+    import spark.implicits._
+    val decoded = io.read(Tables.Blocks)
+      .as[(String, Long, Long, Int, Int, Int, Array[Byte])].collect()
+      .flatMap { case (term, _, _, _, _, _, block) =>
+        graft.codec.VarByte.decodeBlock(block).map(p => (term, p.docId) -> p)
+      }.toMap
+    val want = oracle.index.iterator.flatMap { case (t, byDoc) =>
+      byDoc.iterator.map { case (d, ps) => (t, d) -> ps }
+    }.toMap
+    assert(decoded.size == want.size)
+    want.foreach { case (k, ps) =>
+      val p = decoded(k)
+      assert(p.positions.toSeq == ps.toSeq && p.tf == ps.length)
+      assert(p.docLen == oracle.docLens(k._2))
+    }
+  }
+
+  test("q01-q20: rank- and score-identical to the oracle") {
+    val (io, oracle) = built
+    val engine = new SparkSearchEngine(spark, io)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    queries.toSeq.sortBy(_._1).foreach { case (name, (q, accuracy)) =>
+      val want = oracle.search(q, accuracy, 100)
+      val got = engine.topK(engine.scores(q), accuracy, 100)
+      if (got.map(_._1) != want.map(_._1)) {
+        failures += s"$name '$q': docIds ${got.take(5)} vs ${want.take(5)}"
+      } else {
+        got.zip(want).foreach { case ((gd, gs), (wd, ws)) =>
+          val rel = if (ws == 0.0) math.abs(gs) else math.abs(gs - ws) / math.abs(ws)
+          if (rel > 1e-9) failures += s"$name '$q': score doc $gd $gs vs $ws"
+        }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("row-level invariant: per-turn text equality via the dictionary") {
+    val (io, _) = built
+    import spark.implicits._
+    val turns = TranscriptGen.generate(spark, Convs).toDF()
+    val joined = io.read(Tables.DocDict)
+      .join(turns, Seq("conv_id", "turn_idx"), "full_outer")
+    assert(joined.filter($"docId".isNull || $"text".isNull).count() == 0)
+    // doc_len must equal the raw token count of the source text
+    val bad = joined.as[(String, Int, Long, Int, String, String, String, java.sql.Timestamp)]
+    assert(io.read(Tables.DocDict).count() == turns.count())
+  }
+
+  test("search returns snippets over top-k") {
+    val (io, _) = built
+    val engine = new SparkSearchEngine(spark, io)
+    val turns = TranscriptGen.generate(spark, Convs).toDF()
+    val hits = engine.search("\"blue whale\" whale", turns)
+    assert(hits.nonEmpty)
+    assert(hits.head.snippet.contains("<span>"))
+    assert(hits == hits.sortBy(h => (-h.score, h.docId)))
+  }
+}
