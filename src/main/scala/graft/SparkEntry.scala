@@ -1,13 +1,203 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.api.SparkSearchEngine
+import graft.build.IndexBuilder
+import graft.corpus.TranscriptGen
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.store.ParquetTableIO
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data ops), with DuckDB-equivalent SQL in
+  * `oracleSql` wherever the op is SQL-expressible. Engine-specific ops
+  * (BM25 index, MinHash/SimHash, LSH ANN, media stubs) omit the SQL —
+  * their correctness gate is the oracle golden suite in `sbt -batch test`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  // ---- transcript index, built once per (JVM, sfDir) --------------------
+  private val engines = scala.collection.mutable.Map.empty[String, SparkSearchEngine]
+  private def sfOf(dir: String): Double =
+    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+
+  def transcriptEngine(spark: SparkSession, dir: String): SparkSearchEngine =
+    engines.getOrElseUpdate(dir, {
+      val convs = math.max(200L, (sfOf(dir) * 20000).toLong)
+      val wh = s"/tmp/graft_entry_wh_v2/convs_$convs"
+      val io = new ParquetTableIO(spark, wh)
+      val turns = TranscriptGen.generate(spark, convs)
+      new IndexBuilder(spark, io).build(turns, resume = true, assumeSorted = true)
+      new SparkSearchEngine(spark, io)
+    })
+
+  /** Flagship: BM25 search over the transcript corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    transcriptEngine(spark, "/root/testdata/sf0.001")
+      .searchFrame("\"blue whale\" OR \"query engine\"")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (scan/filter/agg/join/window/topk) ------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      li.filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_e4"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      val n = s.read.parquet(t(dir, "nation"))
+      // nation/customer are small: broadcast them; lineitem⋈orders shuffles
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    "q03_topk_orders" -> ((s, dir) =>
+      s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+    "q04_latest_order_per_customer" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_custkey"))
+    }),
+    "q05_event_buckets" -> ((s, dir) =>
+      s.read.parquet(t(dir, "events"))
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000000).cast("long")).as("value_e6"))
+        .orderBy(col("bucket"), col("event_type"))),
+
+    // ---- training-data ops: dedup -----------------------------------
+    "q06_dedup_exact" -> ((s, dir) => Dedup.exact(s.read.parquet(t(dir, "documents")))),
+    "q07_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashLsh(s, s.read.parquet(t(dir, "documents")).limit(2000))),
+    "q08_simhash" -> ((s, dir) => Dedup.simHash(s, s.read.parquet(t(dir, "documents")))),
+    "q09_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s, s.read.parquet(t(dir, "documents")).limit(2000))),
+    "q10_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(s, s.read.parquet(t(dir, "embeddings")), threshold = 0.3)),
+
+    // ---- text analysis ------------------------------------------------
+    "q11_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(t(dir, "documents")))),
+    "q12_quality" -> ((s, dir) => TextOps.qualityScore(s.read.parquet(t(dir, "documents")))),
+    "q13_lang_id" -> ((s, dir) => TextOps.langId(s.read.parquet(t(dir, "documents")))),
+    "q14_fingerprint" -> ((s, dir) => TextOps.fingerprint(s.read.parquet(t(dir, "documents")))),
+
+    // ---- similarity search -------------------------------------------
+    "q15_ann_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(s.read.parquet(t(dir, "embeddings")), queryId = 0L, k = 20)),
+    "q16_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(s, s.read.parquet(t(dir, "embeddings")), queryId = 0L, k = 20)),
+
+    // ---- multimodal plumbing (decode stubbed, see Multimodal) ---------
+    "q17_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))),
+    "q18_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))),
+
+    // ---- the search engine itself (oracle: sbt test golden suite) -----
+    "q19_bm25_term" -> ((s, dir) => transcriptEngine(s, dir).searchFrame("whale")),
+    "q20_bm25_phrase" -> ((s, dir) => transcriptEngine(s, dir).searchFrame("\"blue whale\"")),
+    "q21_bm25_boolean" -> ((s, dir) =>
+      transcriptEngine(s, dir).searchFrame("(\"blue whale\" OR \"query engine\") NOT \"red fish\"")),
+    "q22_bm25_mixed" -> ((s, dir) =>
+      transcriptEngine(s, dir).searchFrame("\"blue whale\" whale engine")))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q03_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q04_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q05_event_buckets" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, event_type,
+        |  count(*) AS n, sum(CAST(round(value*1000000) AS BIGINT)) AS value_e6
+        |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+    "q06_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY content_md5 ORDER BY content_md5""".stripMargin,
+    "q11_token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
+        |  length(text) AS n_chars_computed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+        |  CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END AS digit_ratio,
+        |  CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[A-Z]'))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END AS upper_ratio,
+        |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0 THEN length(text)::DOUBLE / len(regexp_extract_all(text, '[A-Za-z0-9]+'))::DOUBLE ELSE 0.0 END AS chars_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q13_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+        |       THEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|it|that|for|was|with|are|this|you)\b'))::DOUBLE
+        |            / len(regexp_extract_all(text, '[A-Za-z0-9]+'))::DOUBLE
+        |       ELSE 0.0 END AS stopword_ratio,
+        |  CASE WHEN (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+        |       THEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|it|that|for|was|with|are|this|you)\b'))::DOUBLE
+        |            / len(regexp_extract_all(text, '[A-Za-z0-9]+'))::DOUBLE
+        |       ELSE 0.0 END) >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_ann_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  list_dot_product(embedding::DOUBLE[], q_embedding::DOUBLE[]) /
+        |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |   sqrt(list_dot_product(q_embedding::DOUBLE[], q_embedding::DOUBLE[]))) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin)
 }

@@ -19,9 +19,14 @@ import graft.text.TextPipeline
   * materializing 10^12 rows; only the final top-k pass densifies, and only
   * when the default can still reach the result set.
   *
-  * Per-term scoring is pure Catalyst column arithmetic over a term-pruned
-  * scan of the (term, docId)-sorted postings table — parquet min/max on
-  * `term` makes the lookup a near-point read. No UDF in the hot path.
+  * Everything stays one lazy Catalyst plan until top-k: per-term df and the
+  * max-normalization constants are broadcast 1-row aggregates
+  * (crossJoin(broadcast(agg))) instead of driver actions, so a term query
+  * is a single job over a term-pruned scan of the (term, docId)-sorted
+  * postings table — parquet min/max on `term` makes that a near-point read.
+  * No UDF in the scoring path. The only eager case is re-normalizing a
+  * vector whose absent-doc default is nonzero (i.e. under NOT), where the
+  * new default is data-dependent.
   */
 final class SparkSearchEngine(
     spark: SparkSession,
@@ -42,24 +47,37 @@ final class SparkSearchEngine(
   private def emptyFrame: DataFrame =
     spark.emptyDataset[(Long, Double)].toDF("docId", "score")
 
-  /** BM25 column — identical operation order to the oracle / reference
+  /** BM25 with df as a column — identical operation order to the oracle
     * (BM25Ranker.cpp:431-437) so scores are bit-identical, not just close. */
-  private def bm25Col(tf: Column, dl: Column, dfCount: Double): Column = {
-    val idf = math.log((stats.total_docs - dfCount + 0.5) / (dfCount + 0.5) + 1)
+  private def bm25Col(tf: Column, dl: Column, dfCount: Column): Column = {
+    val n = stats.total_docs.toDouble
+    val idf = log(((lit(n) - dfCount) + lit(0.5)) / (dfCount + lit(0.5)) + lit(1.0))
     val docNorm = lit(1 - params.b) + lit(params.b) * (dl.cast("double") / lit(stats.avg_doc_len))
     val tfD = tf.cast("double")
-    lit(idf) * ((tfD * lit(params.k1 + 1)) / (tfD + lit(params.k1) * docNorm))
+    idf * ((tfD * lit(params.k1 + 1)) / (tfD + lit(params.k1) * docNorm))
   }
 
-  /** max over the conceptually-dense vector, then divide; the default only
-    * competes when some doc is absent from the sparse frame. */
+  /** Lazy max-normalize: max over the conceptually-dense vector as a
+    * broadcast scalar aggregate. The default only competes when some doc
+    * is absent from the sparse frame. Falls back to one eager aggregate
+    * when the (rare, NOT-produced) nonzero default must itself rescale. */
   private def maxNormalize(s: Scores): Scores = {
-    val (mx, cnt) = s.df.agg(max($"score"), count(lit(1))).as[(Option[Double], Long)].head()
-    val sparseMax = mx.getOrElse(0.0)
-    val trueMax = if (cnt >= stats.total_docs) sparseMax else math.max(sparseMax, s.default)
-    if (trueMax > 0)
-      Scores(s.df.select($"docId", ($"score" / lit(trueMax)).as("score")), s.default / trueMax)
-    else s
+    if (s.default == 0.0) {
+      val m = s.df.agg(max($"score").as("mx"), count(lit(1)).as("cnt"))
+      val trueMax = when($"cnt" >= lit(stats.total_docs), coalesce($"mx", lit(0.0)))
+        .otherwise(greatest(coalesce($"mx", lit(0.0)), lit(0.0)))
+      val norm = s.df.crossJoin(broadcast(m))
+        .select($"docId",
+          when(trueMax > 0, $"score" / trueMax).otherwise($"score").as("score"))
+      Scores(norm, 0.0)
+    } else {
+      val (mx, cnt) = s.df.agg(max($"score"), count(lit(1))).as[(Option[Double], Long)].head()
+      val sparseMax = mx.getOrElse(0.0)
+      val trueMax = if (cnt >= stats.total_docs) sparseMax else math.max(sparseMax, s.default)
+      if (trueMax > 0)
+        Scores(s.df.select($"docId", ($"score" / lit(trueMax)).as("score")), s.default / trueMax)
+      else s
+    }
   }
 
   object Algebra extends ScoreAlgebra[Scores] {
@@ -68,33 +86,30 @@ final class SparkSearchEngine(
     override def termScore(rawTerm: String): Scores = {
       val key = if (params.stemBareTerms) TextPipeline.term(rawTerm) else rawTerm
       val rows = postings.filter($"term" === key)
-      val dfCount = rows.count().toDouble
-      if (dfCount == 0) return empty
-      val scored = rows.select($"docId",
-        bm25Col($"tf", $"doc_len", dfCount).as("score"))
+      val dfAgg = rows.agg(count(lit(1)).cast("double").as("df_count"))
+      val scored = rows.crossJoin(broadcast(dfAgg))
+        .select($"docId", bm25Col($"tf", $"doc_len", $"df_count").as("score"))
       maxNormalize(Scores(scored, 0.0))
     }
 
     override def phraseScore(phraseText: String): Scores = {
       val stems = TextPipeline.tokenizeQuery(phraseText)
       if (stems.isEmpty) return empty
-      val first = stems.head
       val rows = postings
         .filter($"term".isin(stems.distinct: _*))
         .select($"docId", $"doc_len", $"term", $"positions")
-      // one shuffle on docId; the positional fold is doc-local
+      // one shuffle on docId; the positional fold is doc-local. Cached
+      // because both the df-count aggregate and the scores read it.
       val perDoc = rows
         .groupBy($"docId", $"doc_len")
         .agg(collect_list(struct($"term", $"positions")).as("tp"))
         .as[(Long, Int, Seq[(String, Seq[Int])])]
-      // cached: the phrase frame feeds df-count, max and the final scores;
-      // stays distributed (a head phrase can match millions of docs)
       val tfs = perDoc.map { case (docId, dl, tp) =>
         (docId, dl, PhraseMatch.phraseTf(stems, tp.toMap))
       }.filter(_._3 > 0).toDF("docId", "doc_len", "tf").cache()
-      val dfCount = tfs.count().toDouble
-      if (dfCount == 0) return empty
-      val scored = tfs.select($"docId", bm25Col($"tf", $"doc_len", dfCount).as("score"))
+      val dfAgg = tfs.agg(count(lit(1)).cast("double").as("df_count"))
+      val scored = tfs.crossJoin(broadcast(dfAgg))
+        .select($"docId", bm25Col($"tf", $"doc_len", $"df_count").as("score"))
       maxNormalize(Scores(scored, 0.0))
     }
 
@@ -173,8 +188,9 @@ final class SparkSearchEngine(
 }
 
 /** The phrase positional fold, doc-local form — equivalent to the
-  * reference's global iteration (BM25Ranker.cpp:439-491) and unit-tested
-  * against the oracle's independent global-fold transcription. */
+  * reference's global iteration (BM25Ranker.cpp:439-491), including the
+  * stale-postings quirk; unit-tested against the oracle's independent
+  * global-fold transcription. */
 object PhraseMatch {
   def phraseTf(stems: Seq[String], termPos: Map[String, Seq[Int]]): Int = {
     if (stems.isEmpty || !termPos.contains(stems.head)) return 0

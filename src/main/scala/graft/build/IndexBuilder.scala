@@ -73,20 +73,26 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     * Range-partition + in-partition sort gives a total order at any
     * parallelism; zipWithIndex is the one justified RDD drop-down (dense
     * rank needs the two-pass per-partition offset sum — a single-partition
-    * window would not scale). */
-  private def withDocIds(turns: Dataset[Turn]): Dataset[(Long, Turn)] = {
-    val sorted = turns
-      .repartitionByRange(col("conv_id"), col("turn_idx"))
-      .sortWithinPartitions("conv_id", "turn_idx")
+    * window would not scale). `assumeSorted` skips the range shuffle when
+    * the source is already globally (conv_id, turn_idx)-ordered with
+    * contiguous partitions (e.g. the deterministic generator, or an
+    * ingest-sorted table) — ids are identical either way. */
+  private def withDocIds(turns: Dataset[Turn], assumeSorted: Boolean): Dataset[(Long, Turn)] = {
+    val sorted =
+      if (assumeSorted) turns
+      else turns
+        .repartitionByRange(col("conv_id"), col("turn_idx"))
+        .sortWithinPartitions("conv_id", "turn_idx")
     spark.createDataset(sorted.rdd.zipWithIndex().map { case (t, id) => (id, t) })
   }
 
-  def build(turns: Dataset[Turn], resume: Boolean = false): Seq[StageMetric] = {
+  def build(turns: Dataset[Turn], resume: Boolean = false,
+      assumeSorted: Boolean = false): Seq[StageMetric] = {
     val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetric]
     if (!resume) io.drop(Tables.Lineage)
 
     runStage(Tables.PostingsRaw, resume, metrics) {
-      val raw = withDocIds(turns).mapPartitions { iter =>
+      val raw = withDocIds(turns, assumeSorted).mapPartitions { iter =>
         iter.flatMap { case (docId, turn) =>
           val (docLen, terms) = TextPipeline.analyze(turn.text)
           val sentinel = RawIndexRow("", docId, 0, docLen, Array.empty[Int],

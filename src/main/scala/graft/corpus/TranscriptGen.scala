@@ -54,7 +54,8 @@ object TranscriptGen {
     val rnd = new scala.util.Random(seed ^ (conv * 0x9E3779B97F4A7C15L))
     val nTurns = 1 + rnd.nextInt(maxTurns)
     (0 until nTurns).map { t =>
-      val nWords = rnd.nextInt(30)
+      // realistic transcript-turn lengths (tens to a few hundred tokens)
+      val nWords = 10 + rnd.nextInt(120)
       val words = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
       while (i < nWords) {
@@ -71,7 +72,7 @@ object TranscriptGen {
         if (rnd.nextInt(11) == 0 && j > 0) w2 + "," else w2
       }.mkString(" ") + (if (rnd.nextInt(3) == 0) "." else "")
       Turn(
-        conv_id = f"conv-$conv%05d",
+        conv_id = f"conv-$conv%08d",
         turn_idx = t,
         role = roles(t % roles.size),
         text = text,

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, all
+  * pure Catalyst column expressions (codegen'd, no UDF in the scan path).
+  * Each has a DuckDB-expressible twin in SparkEntry.oracleSql.
+  */
+object TextOps {
+
+  /** Whitespace token count + word-ish token count (BPE-ish regex runs). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ", -1)).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).as("word_tokens"),
+      length(col("text")).as("n_chars_computed"))
+      .orderBy(col("doc_id"))
+
+  /** Quality signals: length, word count, punctuation / digit / upper
+    * ratios, mean word length — the usual pre-training quality features. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val words = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("""[!-/:-@\[-`{-~]"""), lit(0))).cast("double")
+    val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
+    val uppers = size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0))).cast("double")
+    docs.select(
+      col("doc_id"),
+      len.cast("long").as("n_chars"),
+      words.cast("long").as("n_words"),
+      when(len > 0, punct / len).otherwise(lit(0.0)).as("punct_ratio"),
+      when(len > 0, digits / len).otherwise(lit(0.0)).as("digit_ratio"),
+      when(len > 0, uppers / len).otherwise(lit(0.0)).as("upper_ratio"),
+      when(words > 0, len / words).otherwise(lit(0.0)).as("chars_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: English stop-word hit ratio over word tokens.
+    * A real pipeline would use char-n-gram profiles; the heuristic is the
+    * n-gram-free SQL-expressible baseline. */
+  def langId(docs: DataFrame, threshold: Double = 0.08): DataFrame = {
+    val stopHits = size(regexp_extract_all(lower(col("text")),
+      lit("""\b(the|and|of|to|in|is|it|that|for|was|with|are|this|you)\b"""), lit(0))).cast("double")
+    val words = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).cast("double")
+    val ratio = when(words > 0, stopHits / words).otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      ratio.as("stopword_ratio"),
+      when(ratio >= threshold, lit("en")).otherwise(lit("unknown")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct lowercase word set
+    * — an order-insensitive content fingerprint for near-dup bucketing. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling polynomial hash (Rabin-Karp style) over word tokens — the
+    * positional fingerprint (not SQL-expressible; ScalaTest-verified). */
+  def rollingHash(tokens: Seq[String], window: Int = 8): Seq[Long] = {
+    val B = 1000000007L
+    val hashes = tokens.map(t => t.hashCode.toLong & 0x7fffffffL)
+    if (hashes.length < window) {
+      if (hashes.isEmpty) Seq.empty
+      else Seq(hashes.foldLeft(0L)((acc, h) => (acc * B + h) & 0x7fffffffffffffL))
+    } else hashes.sliding(window).map(
+      _.foldLeft(0L)((acc, h) => (acc * B + h) & 0x7fffffffffffffL)).toSeq
+  }
+}

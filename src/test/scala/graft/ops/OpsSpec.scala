@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object OpsFixture {
+  lazy val spark: SparkSession = graft.EngineSpecFixture.spark
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class OpsSpec extends AnyFunSuite {
+  import OpsFixture._
+  private def docsWithDups = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().take(50)
+    // plant exact dups and a near-dup (one word changed)
+    val planted = base ++ Seq(
+      (1000L, base(0)._2),
+      (1001L, base(1)._2),
+      (1002L, base(2)._2.replaceFirst("\\w+", "zzzz")))
+    spark.createDataset(planted.toIndexedSeq).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups planted duplicates") {
+    import spark.implicits._
+    val out = Dedup.exact(docsWithDups).filter($"n_copies" > 1)
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 2)
+    assert(out.forall { case (_, keep, n) => n == 2 && keep < 1000 })
+  }
+
+  test("minhash LSH finds the planted dups with est_jaccard 1.0") {
+    import spark.implicits._
+    val pairs = Dedup.minHashLsh(spark, docsWithDups, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 1000 && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 1001 && p._3 == 1.0))
+    // estimated jaccard of every reported pair is close to the true value
+    val texts = docsWithDups.as[(Long, String)].collect().toMap
+    pairs.foreach { case (a, b, est) =>
+      val truth = Dedup.jaccard(Dedup.shingles(texts(a), 3), Dedup.shingles(texts(b), 3))
+      assert(math.abs(est - truth) < 0.35, s"pair ($a,$b): est $est vs true $truth")
+    }
+  }
+
+  test("simhash: identical texts identical, near-dup within few bits") {
+    val a = Dedup.simHash64("the quick brown fox jumps over the lazy dog again and again")
+    val b = Dedup.simHash64("the quick brown fox jumps over the lazy dog again and again")
+    val c = Dedup.simHash64("the quick brown fox jumps over the lazy cat again and again")
+    val far = Dedup.simHash64("completely unrelated content about spark query engines")
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) <= 16)
+    assert(java.lang.Long.bitCount(a ^ far) > java.lang.Long.bitCount(a ^ c))
+  }
+
+  test("ngram jaccard verifies planted near-dup above threshold") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(spark, docsWithDups, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 1000 && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 2 && p._2 == 1002 && p._3 >= 0.3 && p._3 < 1.0))
+  }
+
+  test("brute-force ANN matches a driver-side exact computation") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Similarity.bruteForceTopK(emb, 0L, 10).as[(Long, Double)].collect()
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val q = all.find(_._1 == 0L).get._2
+    val want = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, Similarity.cosine(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("LSH ANN: good recall on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian())
+    val vecs = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val emb = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).as[(Long, Double)].collect().map(_._1).toSet
+    val lsh = Similarity.lshTopK(spark, emb, 0L, 10, probeHamming = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("media features: deterministic, exercises all kinds") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val media = Multimodal.synthesize(docs)
+    val f1 = Multimodal.extractFeatures(spark, media).collect()
+    val f2 = Multimodal.extractFeatures(spark, media).collect()
+    assert(f1.toSeq == f2.toSeq)
+    val kinds = f1.map(_.getString(1)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+    assert(f1.forall(_.getDouble(4) > 0))
+    val frames = Multimodal.sampleFrames(spark, media).collect()
+    assert(frames.nonEmpty)
+  }
+
+  test("rolling hash: shift-sensitive, deterministic") {
+    val t1 = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i")
+    assert(TextOps.rollingHash(t1) == TextOps.rollingHash(t1))
+    assert(TextOps.rollingHash(t1) != TextOps.rollingHash(t1.reverse))
+    assert(TextOps.rollingHash(Seq("x")).nonEmpty)
+    assert(TextOps.rollingHash(Nil).isEmpty)
+  }
+
+  test("token counts agree with a hand computation") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq((1L, "a b  c"), (2L, ""), (3L, "one,two three4five")))
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenCounts(df).as[(Long, Int, Int, Int)].collect().toSeq
+    // "three4five" is ONE [A-Za-z0-9]+ run — digits don't split word tokens
+    assert(got == Seq((1L, 4, 3, 6), (2L, 1, 0, 0), (3L, 2, 3, 18)))
+  }
+}
