@@ -97,15 +97,18 @@ final class SparkSearchEngine(
       if (stems.isEmpty) return empty
       val rows = postings
         .filter($"term".isin(stems.distinct: _*))
-        .select($"docId", $"doc_len", $"term", $"positions")
+        .select($"docId", $"doc_len", $"term", $"positions_vb")
       // one shuffle on docId; the positional fold is doc-local. Cached
       // because both the df-count aggregate and the scores read it.
       val perDoc = rows
         .groupBy($"docId", $"doc_len")
-        .agg(collect_list(struct($"term", $"positions")).as("tp"))
-        .as[(Long, Int, Seq[(String, Seq[Int])])]
+        .agg(collect_list(struct($"term", $"positions_vb")).as("tp"))
+        .as[(Long, Int, Seq[(String, Array[Byte])])]
       val tfs = perDoc.map { case (docId, dl, tp) =>
-        (docId, dl, PhraseMatch.phraseTf(stems, tp.toMap))
+        val termPos = tp.iterator.map { case (t, vb) =>
+          t -> graft.codec.VarByte.decodePositions(vb).toSeq
+        }.toMap
+        (docId, dl, PhraseMatch.phraseTf(stems, termPos))
       }.filter(_._3 > 0).toDF("docId", "doc_len", "tf").cache()
       val dfAgg = tfs.agg(count(lit(1)).cast("double").as("df_count"))
       val scored = tfs.crossJoin(broadcast(dfAgg))
@@ -159,6 +162,58 @@ final class SparkSearchEngine(
     }
   }
 
+  /** Block-max WAND top-k for a single bare term — rank- and
+    * score-identical to the exhaustive path (same IEEE operation order;
+    * the normalization max IS the top-1 score), but reads the compressed
+    * block index and stops decoding once a block's upper bound can no
+    * longer enter the top-k. The 10^12-doc fast path for the most common
+    * query shape. */
+  def termTopKWand(rawTerm: String, accuracy: Double = 0.0, k: Int = params.topK): Vector[(Long, Double)] = {
+    val key = if (params.stemBareTerms) TextPipeline.term(rawTerm) else rawTerm
+    val dfArr = io.read(Tables.TermStats).filter($"term" === key)
+      .select($"df").as[Long].collect()
+    val raw: Vector[(Long, Double)] =
+      if (dfArr.isEmpty) Vector.empty
+      else {
+        val dfCount = dfArr.head.toDouble
+        val n = stats.total_docs.toDouble
+        // StrictMath: Catalyst's log expression uses StrictMath.log, and
+        // Math.log may differ in the last ulp on some JITs
+        val idf = StrictMath.log(((n - dfCount) + 0.5) / (dfCount + 0.5) + 1.0)
+        val p = params; val st = stats
+        val cands = io.read(Tables.Blocks).filter($"term" === key)
+          .as[graft.model.IndexBlock]
+          .mapPartitions(it => Wand.topKForPartition(it, idf, k, p, st))
+          .collect()
+        Wand.mergeTopK(cands.toIndexedSeq, k)
+      }
+    val mx = raw.headOption.map(_._2).getOrElse(0.0)
+    val normed = if (mx > 0) raw.map { case (d, s) => (d, s / mx) } else raw
+    // single-operand stackCombine (ProcessQuery :152-154,183-203): the
+    // final score is TFW·normalize(x) + EMW·x — not an IEEE no-op, so it
+    // must be applied here too for bit-identity with the algebra path
+    val tfw = params.termFrequencyWeight; val emw = params.exactMatchWeight
+    val combined = normed.map { case (d, s) => (d, tfw * s + emw * s) }
+    val filtered = combined.filter(_._2 >= accuracy)
+    if (filtered.length >= k || accuracy > 0.0) filtered.take(k)
+    else {
+      // dense zero-fill (reference vectors are dense; absent docs hold 0)
+      val present = raw.map(_._1).toSet
+      val absent = dict.select($"docId")
+        .filter(!$"docId".isin(present.toSeq: _*))
+        .orderBy($"docId".asc).limit(k)
+        .as[Long].collect().toVector.map(d => (d, 0.0))
+      (filtered ++ absent).sortBy { case (d, sc) => (-sc, d) }.take(k)
+    }
+  }
+
+  /** Single bare term (no quotes, no operators) → WAND-routable. */
+  private def asSingleTerm(query: String): Option[String] =
+    QueryLexer.lex(query) match {
+      case Vector(QueryLexer.QTerm(t)) => Some(t)
+      case _ => None
+    }
+
   /** Full search with snippets over the source turns table. */
   def search(query: String, turns: DataFrame, accuracy: Double = 0.0): Vector[SearchHit] = {
     val top = topK(scores(query), accuracy, params.topK)
@@ -177,9 +232,13 @@ final class SparkSearchEngine(
     }.sortBy(h => (-h.score, h.docId)).toVector
   }
 
-  /** DataFrame variant for the driver harness (SparkEntry). */
+  /** DataFrame variant for the driver harness (SparkEntry). Single-term
+    * queries route through block-max WAND (identical results, pruned IO). */
   def searchFrame(query: String, accuracy: Double = 0.0, k: Int = 100): DataFrame = {
-    val top = topK(scores(query), accuracy, k)
+    val top = asSingleTerm(query) match {
+      case Some(t) => termTopKWand(t, accuracy, k)
+      case None => topK(scores(query), accuracy, k)
+    }
     spark.createDataset(top).toDF("docId", "score")
       .join(dict, Seq("docId"), "left")
       .select($"docId", $"conv_id", $"turn_idx", $"score")

@@ -49,6 +49,15 @@ final case class StageMetric(stage: String, rows: Long, wallMs: Long, skipped: B
 final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096) {
   import spark.implicits._
 
+  /** Explicit shuffle width. An un-parameterized repartitionByRange lets
+    * AQE coalesce to its 64 MB advisory size — at local[32] that collapses
+    * the sort/write (and every downstream scan of the files it wrote) to
+    * ~5-way parallelism. Explicit counts are preserved by AQE; on a real
+    * cluster size this from data volume instead. */
+  private def nShuffle: Int =
+    math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      spark.sparkContext.defaultParallelism)
+
   private def runStage(name: String, resume: Boolean, metrics: scala.collection.mutable.ArrayBuffer[StageMetric])(body: => Unit): Unit = {
     if (resume && io.exists(name)) {
       metrics += StageMetric(name, -1L, 0L, skipped = true)
@@ -81,7 +90,7 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     val sorted =
       if (assumeSorted) turns
       else turns
-        .repartitionByRange(col("conv_id"), col("turn_idx"))
+        .repartitionByRange(nShuffle, col("conv_id"), col("turn_idx"))
         .sortWithinPartitions("conv_id", "turn_idx")
     spark.createDataset(sorted.rdd.zipWithIndex().map { case (t, id) => (id, t) })
   }
@@ -95,10 +104,11 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
       val raw = withDocIds(turns, assumeSorted).mapPartitions { iter =>
         iter.flatMap { case (docId, turn) =>
           val (docLen, terms) = TextPipeline.analyze(turn.text)
-          val sentinel = RawIndexRow("", docId, 0, docLen, Array.empty[Int],
+          val sentinel = RawIndexRow("", docId, 0, docLen, Array.empty[Byte],
             turn.conv_id, turn.turn_idx)
           val postings = terms.iterator.map { case (term, poss) =>
-            RawIndexRow(term, docId, poss.length, docLen, poss.toArray, null, -1)
+            RawIndexRow(term, docId, poss.length, docLen,
+              VarByte.encodePositions(poss), null, -1)
           }
           Iterator.single(sentinel) ++ postings
         }
@@ -129,8 +139,8 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
 
     runStage(Tables.Postings, resume, metrics) {
       val postings = raw.filter(col("term") =!= "")
-        .select("term", "docId", "tf", "doc_len", "positions")
-        .repartitionByRange(col("term"), col("docId"))
+        .select("term", "docId", "tf", "doc_len", "positions_vb")
+        .repartitionByRange(nShuffle, col("term"), col("docId"))
         .sortWithinPartitions("term", "docId")
       io.write(postings, Tables.Postings)
     }
@@ -138,7 +148,7 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     runStage(Tables.Blocks, resume, metrics) {
       val bs = blockSize
       val blocks = io.read(Tables.Postings)
-        .select("term", "docId", "tf", "doc_len", "positions")
+        .select("term", "docId", "tf", "doc_len", "positions_vb")
         .as[PostingRow]
         .mapPartitions { iter =>
           // rows arrive (term, docId)-sorted within each split; emit
@@ -153,7 +163,8 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
               while (it.hasNext && it.head.term == term && buf.size < bs) {
                 val p = it.next()
                 maxTf = math.max(maxTf, p.tf); minDl = math.min(minDl, p.doc_len)
-                buf += VarByte.Posting(p.docId, p.tf, p.doc_len, p.positions)
+                buf += VarByte.Posting(p.docId, p.tf, p.doc_len,
+                  VarByte.decodePositions(p.positions_vb))
               }
               IndexBlock(term, buf.head.docId, buf.last.docId, buf.size,
                 maxTf, minDl, VarByte.encodeBlock(buf.toSeq))

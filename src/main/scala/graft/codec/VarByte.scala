@@ -44,6 +44,26 @@ object VarByte {
     def hasMore: Boolean = pos < bytes.length
   }
 
+  /** Delta+varbyte encode one ascending position list (used from the
+    * tokenizer onward, so position payloads stay compressed through every
+    * shuffle and table — at 10^12 turns the shuffle bytes are the build's
+    * scarce resource). */
+  def encodePositions(positions: scala.collection.Seq[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(positions.length + 4)
+    var prev = 0L
+    positions.foreach { p => writeVarLong(out, p - prev); prev = p.toLong }
+    out.toByteArray
+  }
+
+  def decodePositions(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null || bytes.isEmpty) return Array.empty
+    val r = new Reader(bytes)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](bytes.length)
+    var prev = 0L
+    while (r.hasMore) { prev += r.readVarLong(); buf += prev.toInt }
+    buf.toArray
+  }
+
   /** One posting inside a block. */
   final case class Posting(docId: Long, tf: Int, docLen: Int, positions: Array[Int])
 

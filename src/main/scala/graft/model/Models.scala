@@ -21,13 +21,14 @@ final case class DocDictEntry(docId: Long, conv_id: String, turn_idx: Int, doc_l
 /** Flat posting row — the v1 index shape. One row per (term, doc); doc_len
   * denormalized in to avoid the per-term scoring join
   * (/root/reference/source/BM25Ranker.cpp:358-368 does a map lookup per doc).
-  * positions are 0-based raw-token offsets (InvertedIndex.cpp:135-145). */
+  * positions are 0-based raw-token offsets (InvertedIndex.cpp:135-145),
+  * delta+varbyte encoded from the tokenizer onward. */
 final case class PostingRow(
     term: String,
     docId: Long,
     tf: Int,
     doc_len: Int,
-    positions: Array[Int])
+    positions_vb: Array[Byte])
 
 /** Tokenizer output row: postings + per-doc sentinel rows (term == "") that
   * carry the dictionary columns. The reference also indexes the empty term
@@ -38,7 +39,7 @@ final case class RawIndexRow(
     docId: Long,
     tf: Int,
     doc_len: Int,
-    positions: Array[Int],
+    positions_vb: Array[Byte],
     conv_id: String,
     turn_idx: Int)
 

@@ -53,7 +53,8 @@ final class RefOracle(turns: Seq[Turn], params: GraftParams = GraftParams()) {
   type Scores = Map[Long, Double]
 
   def calculateBM25(tf: Double, docLen: Double, df: Double): Double = {
-    val idf = math.log((totalDocs - df + 0.5) / (df + 0.5) + 1)
+    // StrictMath to stay bit-identical with Catalyst's log expression
+    val idf = StrictMath.log((totalDocs - df + 0.5) / (df + 0.5) + 1)
     val docNorm = (1 - params.b) + params.b * (docLen / avgDocLen)
     val tfPart = (tf * (params.k1 + 1)) / (tf + params.k1 * docNorm)
     idf * tfPart

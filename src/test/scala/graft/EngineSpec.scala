@@ -76,10 +76,11 @@ class EngineSpec extends AnyFunSuite {
       (id, t.conv_id, t.turn_idx, oracle.docLens(id)) }
     assert(dict.toSeq == oracleDict)
 
-    // postings: full content equality
+    // postings: full content equality (positions stored delta+varbyte)
     val got = io.read(Tables.Postings)
-      .as[(String, Long, Int, Int, Seq[Int])].collect()
-      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      .as[(String, Long, Int, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2) ->
+        ((r._3, r._4, graft.codec.VarByte.decodePositions(r._5).toSeq))).toMap
     val want = for {
       (term, byDoc) <- oracle.index.toSeq
       (docId, poss) <- byDoc
@@ -127,6 +128,25 @@ class EngineSpec extends AnyFunSuite {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("WAND term top-k identical to the exhaustive path (all q terms + edge cases)") {
+    val (io, oracle) = built
+    val engine = new SparkSearchEngine(spark, io)
+    val terms = Seq("whale", "blue", "the", "run", "engin", "a", "zzzunknown", "dont")
+    terms.foreach { t =>
+      val exhaustive = engine.topK(engine.scores(t), 0.0, 100)
+      val wand = engine.termTopKWand(t, 0.0, 100)
+      assert(wand == exhaustive, s"term '$t': wand ${wand.take(3)} vs ${exhaustive.take(3)}")
+      val oracleTop = oracle.search(t, 0.0, 100)
+      assert(wand.map(_._1) == oracleTop.map(_._1), s"term '$t' vs oracle")
+    }
+    // accuracy threshold path
+    assert(engine.termTopKWand("whale", 0.5, 100) ==
+      engine.topK(engine.scores("whale"), 0.5, 100))
+    // small k triggers real pruning (blockSize=8 in this fixture)
+    assert(engine.termTopKWand("the", 0.0, 3) ==
+      engine.topK(engine.scores("the"), 0.0, 3))
   }
 
   test("row-level invariant: per-turn text equality via the dictionary") {
