@@ -8,6 +8,10 @@ import graft.text.TextPipeline
 import graft.codec.VarByte
 
 object Tables {
+  /** Bump on any index-table schema/layout change: resumable builds skip
+    * committed stages, so a resume against tables from an older format
+    * must be impossible (cache paths embed this). */
+  val FormatVersion = 3
   val PostingsRaw = "postings_raw"
   val DocDict = "doc_dict"
   val Stats = "stats"
