@@ -34,27 +34,7 @@ object EngineSpecFixture {
     (io, oracle)
   }
 
-  val queries: Map[String, (String, Double)] = Map(
-    "q01" -> ("whale", 0.0),
-    "q02" -> ("blue whale", 0.0),
-    "q03" -> ("\"blue whale\"", 0.0),
-    "q04" -> ("\"\"blue whale\"\"", 0.0),
-    "q05" -> ("\"blue whale\" OR \"query engine\"", 0.0),
-    "q06" -> ("\"blue whale\" AND \"query engine\"", 0.0),
-    "q07" -> ("NOT \"blue whale\"", 0.0),
-    "q08" -> ("(\"blue whale\" OR \"query engine\") NOT \"red fish\"", 0.0),
-    "q09" -> ("\"blue whale\" whale engine", 0.0),
-    "q10" -> ("don't", 0.0),
-    "q11" -> ("state-of-the-art", 0.0),
-    "q12" -> ("running", 0.0),
-    "q13" -> ("the", 0.0),
-    "q14" -> ("\"whale blue\"", 0.0),
-    "q15" -> ("\"blue blue\"", 0.0),
-    "q16" -> ("zzzunknown", 0.0),
-    "q17" -> ("whale", 0.5),
-    "q18" -> ("not \"blue whale\"", 0.0),
-    "q19" -> ("\"a b c\"", 0.0),
-    "q20" -> ("((\"x\" AND \"y\") OR \"z\") NOT \"w\"", 0.0))
+  val queries: Seq[(String, (String, Double))] = EngineQueries.all
 }
 
 class EngineSpec extends AnyFunSuite {
@@ -115,7 +95,7 @@ class EngineSpec extends AnyFunSuite {
     val (io, oracle) = built
     val engine = new SparkSearchEngine(spark, io)
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    queries.toSeq.sortBy(_._1).foreach { case (name, (q, accuracy)) =>
+    queries.sortBy(_._1).foreach { case (name, (q, accuracy)) =>
       val want = oracle.search(q, accuracy, 100)
       val got = engine.topK(engine.scores(q), accuracy, 100)
       if (got.map(_._1) != want.map(_._1)) {
@@ -159,6 +139,73 @@ class EngineSpec extends AnyFunSuite {
     // doc_len must equal the raw token count of the source text
     val bad = joined.as[(String, Int, Long, Int, String, String, String, java.sql.Timestamp)]
     assert(io.read(Tables.DocDict).count() == turns.count())
+  }
+
+  test("golden files: oracle top-10 matches the checked-in fixtures exactly") {
+    val (_, oracle) = built
+    queries.foreach { case (name, (q, accuracy)) =>
+      val src = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream(s"/golden/$name.json"), "UTF-8")
+      val text = try src.mkString finally src.close()
+      val pat = """\{"docId":(\d+),"score":([-0-9.eE]+)\}""".r
+      val want = pat.findAllMatchIn(text)
+        .map(m => (m.group(1).toLong, m.group(2).toDouble)).toVector
+      val got = oracle.search(q, accuracy, 10)
+      assert(got == want, s"$name '$q'")
+    }
+  }
+
+  test("determinism: rebuild at a different parallelism yields identical tables and results") {
+    val (io, _) = built
+    import spark.implicits._
+    val wh2 = java.nio.file.Files.createTempDirectory("graft_wh2_").toString
+    val io2 = new ParquetTableIO(spark, wh2)
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      new IndexBuilder(spark, io2, blockSize = 8).build(TranscriptGen.generate(spark, Convs))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    def content(i: graft.store.TableIO) = i.read(Tables.Postings)
+      .as[(String, Long, Int, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5.toSeq)).sortBy(r => (r._1, r._2)).toSeq
+    assert(content(io2) == content(io))
+    val e1 = new SparkSearchEngine(spark, io)
+    val e2 = new SparkSearchEngine(spark, io2)
+    queries.take(6).foreach { case (name, (q, acc)) =>
+      assert(e1.topK(e1.scores(q), acc, 50) == e2.topK(e2.scores(q), acc, 50), name)
+    }
+  }
+
+  test("resume: killed-after-stage build completes to an identical index") {
+    val (io, _) = built
+    import spark.implicits._
+    val wh3 = java.nio.file.Files.createTempDirectory("graft_wh3_").toString
+    val io3 = new ParquetTableIO(spark, wh3)
+    val turns = TranscriptGen.generate(spark, Convs)
+    new IndexBuilder(spark, io3, blockSize = 8).build(turns)
+    // simulate a crash that lost everything after stage 2
+    io3.drop(Tables.Postings); io3.drop(Tables.Blocks); io3.drop(Tables.TermStats)
+    val metrics = new IndexBuilder(spark, io3, blockSize = 8).build(turns, resume = true)
+    val skipped = metrics.filter(_.skipped).map(_.stage).toSet
+    assert(skipped == Set(Tables.PostingsRaw, Tables.DocDict, Tables.Stats))
+    def content(i: graft.store.TableIO) = i.read(Tables.Postings)
+      .as[(String, Long, Int, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5.toSeq)).sortBy(r => (r._1, r._2)).toSeq
+    assert(content(io3) == content(io))
+  }
+
+  test("plans: term lookup pushes down; top-k is TakeOrdered; scoring is codegen'd") {
+    val (io, _) = built
+    val engine = new SparkSearchEngine(spark, io)
+    val df = engine.scores("whale").df
+      .orderBy(org.apache.spark.sql.functions.col("score").desc).limit(10)
+    df.collect() // finalize the adaptive plan so codegen ids are visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,whale)]"),
+      s"term filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(plan.contains("*("), "BM25 scoring must stay in whole-stage codegen")
+    assert(!plan.contains("positions_vb"), "term scoring must not read the positions column")
   }
 
   test("search returns snippets over top-k") {
