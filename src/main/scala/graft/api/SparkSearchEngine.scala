@@ -170,12 +170,15 @@ final class SparkSearchEngine(
     * query shape. */
   def termTopKWand(rawTerm: String, accuracy: Double = 0.0, k: Int = params.topK): Vector[(Long, Double)] = {
     val key = if (params.stemBareTerms) TextPipeline.term(rawTerm) else rawTerm
-    val dfArr = io.read(Tables.TermStats).filter($"term" === key)
-      .select($"df").as[Long].collect()
+    // df derived from the block metadata itself (term-pruned read): exact,
+    // and — unlike the batch-only term_stats table — correct across
+    // incrementally appended segments
+    val dfArr = io.read(Tables.Blocks).filter($"term" === key)
+      .agg(sum($"n_docs")).as[Option[Long]].collect()
     val raw: Vector[(Long, Double)] =
-      if (dfArr.isEmpty) Vector.empty
+      if (dfArr.isEmpty || dfArr.head.isEmpty) Vector.empty
       else {
-        val dfCount = dfArr.head.toDouble
+        val dfCount = dfArr.head.get.toDouble
         val n = stats.total_docs.toDouble
         // StrictMath: Catalyst's log expression uses StrictMath.log, and
         // Math.log may differ in the last ulp on some JITs

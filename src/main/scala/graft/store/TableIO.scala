@@ -16,6 +16,8 @@ trait TableIO {
   def read(name: String): DataFrame
   def exists(name: String): Boolean
   def drop(name: String): Unit
+  /** Replace a table that the new contents may also read from. */
+  def replace(df: DataFrame, name: String): Unit
 }
 
 final class ParquetTableIO(spark: SparkSession, warehouse: String) extends TableIO {
@@ -45,5 +47,18 @@ final class ParquetTableIO(spark: SparkSession, warehouse: String) extends Table
     val p = new org.apache.hadoop.fs.Path(path(name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Write to a temp name first, then swap. (With an Iceberg catalog this
+    * is a plain transactional overwrite.) */
+  override def replace(df: DataFrame, name: String): Unit = {
+    val tmp = name + "__tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(path(tmp))
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop(name)
+    fs.rename(new org.apache.hadoop.fs.Path(path(tmp)),
+      new org.apache.hadoop.fs.Path(path(name)))
+    ()
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.SparkSearchEngine
+import graft.build.{IndexBuilder, StreamingIngest, Tables}
+import graft.corpus.TranscriptGen
+import graft.model.Turn
+import graft.oracle.RefOracle
+import graft.store.ParquetTableIO
+
+/** Incremental (foreachBatch) indexing: batches append disjoint-docId
+  * segments; stats advance by the reference's weighted mean; results match
+  * a full build up to docId relabeling (batch-insertion order vs global
+  * rank — the reference's ObjectId insertion order has the same property).
+  */
+class IncrementalSpec extends AnyFunSuite {
+  import EngineSpecFixture.spark
+
+  private val allTurns = TranscriptGen.generateLocal(30)
+  private def keyed(engine: SparkSearchEngine, io: ParquetTableIO, q: String) = {
+    import spark.implicits._
+    val dict = io.read(Tables.DocDict)
+      .as[(Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    engine.topK(engine.scores(q), 0.0, 200).map { case (d, s) =>
+      (dict(d), math.rint(s * 1e12) / 1e12)
+    }.toSet
+  }
+
+  test("three incremental batches equal one full build (up to docId relabeling)") {
+    import spark.implicits._
+    val ioInc = new ParquetTableIO(spark,
+      java.nio.file.Files.createTempDirectory("inc_wh_").toString)
+    val b = new IndexBuilder(spark, ioInc, blockSize = 8)
+    val parts = allTurns.grouped((allTurns.size + 2) / 3).toSeq
+    parts.zipWithIndex.foreach { case (p, i) =>
+      b.buildIncremental(spark.createDataset(p), batchId = i.toLong)
+    }
+    // idempotency: replaying a batch is a no-op
+    val replay = b.buildIncremental(spark.createDataset(parts.head), batchId = 0L)
+    assert(replay.isEmpty)
+
+    val ioFull = new ParquetTableIO(spark,
+      java.nio.file.Files.createTempDirectory("full_wh_").toString)
+    new IndexBuilder(spark, ioFull, blockSize = 8).build(spark.createDataset(allTurns))
+
+    // same corpus stats (avgdl via weighted mean == exact mean here up to fp)
+    val (nI, mI) = ioInc.read(Tables.Stats).as[(Long, Double)].head()
+    val (nF, mF) = ioFull.read(Tables.Stats).as[(Long, Double)].head()
+    assert(nI == nF)
+    assert(math.abs(mI - mF) < 1e-9)
+
+    val eInc = new SparkSearchEngine(spark, ioInc)
+    val eFull = new SparkSearchEngine(spark, ioFull)
+    Seq("whale", "\"blue whale\"", "the", "\"blue whale\" OR \"query engine\"").foreach { q =>
+      assert(keyed(eInc, ioInc, q) == keyed(eFull, ioFull, q), s"query $q")
+    }
+    // WAND over multi-segment blocks
+    assert(eInc.termTopKWand("whale", 0.0, 50) == eInc.topK(eInc.scores("whale"), 0.0, 50))
+  }
+
+  test("structured streaming ingest via foreachBatch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val io = new ParquetTableIO(spark,
+      java.nio.file.Files.createTempDirectory("stream_wh_").toString)
+    val builder = new IndexBuilder(spark, io, blockSize = 8)
+    val stream = MemoryStream[Turn]
+    val query = StreamingIngest.start(stream.toDS(), builder,
+      java.nio.file.Files.createTempDirectory("stream_ckpt_").toString)
+    try {
+      val halves = allTurns.grouped((allTurns.size + 1) / 2).toSeq
+      stream.addData(halves.head)
+      query.processAllAvailable()
+      val n1 = io.read(Tables.DocDict).count()
+      assert(n1 == halves.head.size)
+      stream.addData(halves(1))
+      query.processAllAvailable()
+      assert(io.read(Tables.DocDict).count() == allTurns.size)
+      val engine = new SparkSearchEngine(spark, io)
+      assert(engine.topK(engine.scores("whale"), 0.0, 10).nonEmpty)
+    } finally query.stop()
+  }
+}
