@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.api.SparkSearchEngine
+import graft.build.{IndexBuilder, StreamingIngest, Tables}
+import graft.corpus.TranscriptGen
+import graft.model.Turn
+import graft.store.ParquetTableIO
+
+/** spark-submit entry point — the CLI re-expression of the reference's
+  * HTTP API surface (/root/reference/source/SearchEngineServer.cpp:14-30):
+  *
+  *   POST /indexDocuments {clear}   → `build --input <turns> --warehouse W [--clear]`
+  *   (incremental batches)          → `ingest --input <stream-dir> --warehouse W`
+  *   GET  /search?query&accuracy    → `search --warehouse W --query Q [--accuracy A] [--k K]`
+  *   PUT  /setRankerParameters      → `--k1 --b --phrase-boost --exact-match-weight` flags
+  *   DELETE /clearCrawlHistory      → `clear --warehouse W`
+  *   POST /crawl                    → N/A: ingestion is a table scan; `gen`
+  *                                    synthesizes the deterministic corpus
+  *
+  * Usage (local or spark-submit --master yarn/k8s — the code is identical):
+  *   spark-submit --class graft.Main <jar> build --input /path/turns.parquet --warehouse /path/wh
+  */
+object Main {
+
+  private def arg(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.Main <gen|build|ingest|search|clear> [--flags]")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .appName(s"graft-${args.head}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val params = GraftParams(
+      k1 = arg(args, "k1").map(_.toDouble).getOrElse(1.5),
+      b = arg(args, "b").map(_.toDouble).getOrElse(0.75),
+      phraseBoost = arg(args, "phrase-boost").map(_.toDouble).getOrElse(1.35),
+      exactMatchWeight = arg(args, "exact-match-weight").map(_.toDouble).getOrElse(0.6),
+      stemBareTerms = args.contains("--stem-bare-terms"),
+      topK = arg(args, "k").map(_.toInt).getOrElse(100))
+
+    def io = new ParquetTableIO(spark,
+      arg(args, "warehouse").getOrElse(sys.error("--warehouse required")))
+
+    args.head match {
+      case "gen" =>
+        val convs = arg(args, "convs").map(_.toLong).getOrElse(10000L)
+        val out = arg(args, "output").getOrElse(sys.error("--output required"))
+        TranscriptGen.generate(spark, convs).write.mode("overwrite").parquet(out)
+        println(s"wrote $convs conversations to $out")
+
+      case "build" =>
+        val input = arg(args, "input").getOrElse(sys.error("--input required"))
+        val turns = spark.read.parquet(input).as[Turn]
+        val resume = !args.contains("--clear")
+        val metrics = new IndexBuilder(spark, io).build(turns, resume = resume)
+        metrics.foreach(m => println(
+          f"stage=${m.stage} rows=${m.rows} wall_ms=${m.wallMs} skipped=${m.skipped}"))
+
+      case "ingest" =>
+        val input = arg(args, "input").getOrElse(sys.error("--input required"))
+        val ckpt = arg(args, "checkpoint").getOrElse(sys.error("--checkpoint required"))
+        val stream = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Turn].schema)
+          .parquet(input).as[Turn]
+        val q = StreamingIngest.start(stream, new IndexBuilder(spark, io), ckpt)
+        q.awaitTermination()
+
+      case "search" =>
+        val query = arg(args, "query").getOrElse(sys.error("--query required"))
+        val accuracy = arg(args, "accuracy").map(_.toDouble).getOrElse(0.0)
+        val engine = new SparkSearchEngine(spark, io, params)
+        arg(args, "turns") match {
+          case Some(turnsPath) =>
+            val hits = engine.search(query, spark.read.parquet(turnsPath), accuracy)
+            hits.foreach(h => println(
+              f"${h.score}%.6f doc=${h.docId} ${h.conv_id}/${h.turn_idx} ${h.snippet.take(120)}"))
+          case None =>
+            engine.topK(engine.scores(query), accuracy, params.topK)
+              .foreach { case (d, s) => println(f"$s%.6f doc=$d") }
+        }
+
+      case "clear" =>
+        Seq(Tables.PostingsRaw, Tables.DocDict, Tables.Stats, Tables.TermStats,
+          Tables.Postings, Tables.Blocks, Tables.Lineage).foreach(io.drop)
+        println("warehouse cleared")
+
+      case other =>
+        System.err.println(s"unknown subcommand: $other")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

@@ -98,4 +98,64 @@ object TextPipeline extends Serializable {
     * normalize, stem, drop empties — order preserved, duplicates kept. */
   def tokenizeQuery(text: String): Vector[String] =
     tokenize(text).iterator.map(term).filter(_.nonEmpty).toVector
+
+  // ---- API-parity scalar functions ------------------------------------
+  // The reference defines but DISABLES the next two in both index and
+  // query paths (WordProcessor.cpp:13,19-22,52-55; InvertedIndex.cpp:139-144;
+  // BM25Ranker.cpp:332-340). They are provided for API parity and stay
+  // unwired, preserving the reference's observable scoring behavior.
+
+  /** WordProcessor::isValidWord — 3..20 chars (disabled in the pipeline). */
+  def isValidWord(word: String): Boolean = word.length >= 3 && word.length <= 20
+
+  private val stopWords: Set[String] = Set(
+    "a", "about", "above", "after", "again", "against", "all", "am", "an",
+    "and", "any", "are", "as", "at", "be", "because", "been", "before",
+    "being", "below", "between", "both", "but", "by", "can", "did", "do",
+    "does", "doing", "down", "during", "each", "few", "for", "from",
+    "further", "had", "has", "have", "having", "he", "her", "here", "hers",
+    "him", "his", "how", "i", "if", "in", "into", "is", "it", "its",
+    "itself", "just", "me", "more", "most", "my", "myself", "no", "nor",
+    "not", "now", "of", "off", "on", "once", "only", "or", "other", "our",
+    "ours", "out", "over", "own", "same", "she", "should", "so", "some",
+    "such", "than", "that", "the", "their", "theirs", "them", "then",
+    "there", "these", "they", "this", "those", "through", "to", "too",
+    "under", "until", "up", "very", "was", "we", "were", "what", "when",
+    "where", "which", "while", "who", "whom", "why", "will", "with", "you",
+    "your", "yours")
+
+  /** WordProcessor::isStopWord — membership test (disabled in the
+    * pipeline: "stop words will complicate phrase search"). */
+  def isStopWord(word: String): Boolean = stopWords.contains(word)
+
+  /** WordProcessor::isQuotedPhrase (WordProcessor.cpp:67-74). */
+  def isQuotedPhrase(text: String): Boolean =
+    text.nonEmpty && text.head == '"' && text.last == '"'
+
+  /** WordProcessor::normalizeQuotedPhrase — strip nested surrounding
+    * quotes (WordProcessor.cpp:57-65). */
+  def normalizeQuotedPhrase(text: String): String = {
+    var r = text
+    while (isQuotedPhrase(r))
+      r = if (r.length <= 1) "" else r.substring(1, r.length - 1)
+    r
+  }
+
+  /** WordProcessor::cleanSnippet — drop \n\r\t, collapse runs of spaces
+    * (WordProcessor.cpp:143-153). */
+  def cleanSnippet(snippet: String): String = {
+    val noCtl = snippet.filterNot(c => c == '\n' || c == '\r' || c == '\t')
+    val sb = new StringBuilder(noCtl.length)
+    var prevSpace = false
+    noCtl.foreach { c =>
+      if (c != ' ' || !prevSpace) sb.append(c)
+      prevSpace = c == ' '
+    }
+    sb.toString
+  }
+
+  /** WordProcessor::splitStringBySpace (WordProcessor.cpp:154-162) —
+    * istream>> semantics: split on any whitespace, drop empties. */
+  def splitStringBySpace(s: String): Vector[String] =
+    s.split("\\s+").iterator.filter(_.nonEmpty).toVector
 }
