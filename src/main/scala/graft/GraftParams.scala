@@ -17,6 +17,9 @@ final case class GraftParams(
     phraseBoost: Double = 1.35,
     exactMatchWeight: Double = 0.6,
     stemBareTerms: Boolean = false,
-    topK: Int = 100) {
+    topK: Int = 100,
+    /** operand-size ceiling for the driver-side boolean algebra; above it
+      * the engine falls back to the fully distributed algebra */
+    driverAlgebraMaxDocs: Int = 2000000) {
   def termFrequencyWeight: Double = 1 - exactMatchWeight
 }

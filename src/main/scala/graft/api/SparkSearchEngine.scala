@@ -81,6 +81,15 @@ final class SparkSearchEngine(
   }
 
   object Algebra extends ScoreAlgebra[Scores] {
+    /** Every op output is cached: the evaluator reuses operands in several
+      * branches (stackCombine feeds each stack element into both the Σ and
+      * the min chain; normalize reads its input twice — aggregate + body),
+      * and without materialization the nested plans re-evaluate
+      * exponentially. This is the sparse analogue of the reference
+      * materializing every op as a dense map (BM25Ranker.cpp:241-300);
+      * frames are query-sized and LRU-evicted. */
+    private def cached(s: Scores): Scores = Scores(s.df.cache(), s.default)
+
     override def empty: Scores = Scores(emptyFrame, 0.0)
 
     override def termScore(rawTerm: String): Scores = {
@@ -89,7 +98,7 @@ final class SparkSearchEngine(
       val dfAgg = rows.agg(count(lit(1)).cast("double").as("df_count"))
       val scored = rows.crossJoin(broadcast(dfAgg))
         .select($"docId", bm25Col($"tf", $"doc_len", $"df_count").as("score"))
-      maxNormalize(Scores(scored, 0.0))
+      cached(maxNormalize(Scores(scored, 0.0)))
     }
 
     override def phraseScore(phraseText: String): Scores = {
@@ -98,11 +107,13 @@ final class SparkSearchEngine(
       val rows = postings
         .filter($"term".isin(stems.distinct: _*))
         .select($"docId", $"doc_len", $"term", $"positions_vb")
-      // one shuffle on docId; the positional fold is doc-local. Cached
-      // because both the df-count aggregate and the scores read it.
+      // one shuffle on docId (alone — so downstream docId joins can reuse
+      // the partitioning); the positional fold is doc-local. Cached because
+      // both the df-count aggregate and the scores read it.
       val perDoc = rows
-        .groupBy($"docId", $"doc_len")
-        .agg(collect_list(struct($"term", $"positions_vb")).as("tp"))
+        .groupBy($"docId")
+        .agg(first($"doc_len").as("doc_len"), // constant per doc
+          collect_list(struct($"term", $"positions_vb")).as("tp"))
         .as[(Long, Int, Seq[(String, Array[Byte])])]
       val tfs = perDoc.map { case (docId, dl, tp) =>
         val termPos = tp.iterator.map { case (t, vb) =>
@@ -113,18 +124,18 @@ final class SparkSearchEngine(
       val dfAgg = tfs.agg(count(lit(1)).cast("double").as("df_count"))
       val scored = tfs.crossJoin(broadcast(dfAgg))
         .select($"docId", bm25Col($"tf", $"doc_len", $"df_count").as("score"))
-      maxNormalize(Scores(scored, 0.0))
+      cached(maxNormalize(Scores(scored, 0.0)))
     }
 
     override def not(a: Scores): Scores =
-      Scores(a.df.select($"docId", (lit(1.0) - $"score").as("score")), 1.0 - a.default)
+      cached(Scores(a.df.select($"docId", (lit(1.0) - $"score").as("score")), 1.0 - a.default))
 
     private def combine(a: Scores, b: Scores, f: (Column, Column) => Column, d: Double): Scores = {
       val l = a.df.select($"docId", $"score".as("s1"))
       val r = b.df.select($"docId", $"score".as("s2"))
       val j = l.join(r, Seq("docId"), "full_outer").select($"docId",
         f(coalesce($"s1", lit(a.default)), coalesce($"s2", lit(b.default))).as("score"))
-      Scores(j, d)
+      cached(Scores(j, d))
     }
 
     override def and(a: Scores, b: Scores): Scores =
@@ -133,12 +144,133 @@ final class SparkSearchEngine(
       combine(a, b, greatest(_, _), math.max(a.default, b.default))
     override def add(a: Scores, b: Scores, wa: Double, wb: Double): Scores =
       combine(a, b, (x, y) => lit(wa) * x + lit(wb) * y, wa * a.default + wb * b.default)
-    override def normalize(a: Scores): Scores = maxNormalize(a)
+    override def normalize(a: Scores): Scores = cached(maxNormalize(a))
   }
 
   /** Evaluate a query to its (still lazy/sparse) score vector. */
   def scores(query: String): Scores =
     QueryEvaluator.evaluate(query, Algebra, params)
+
+  /** Driver-side algebra over sparse (map, default) vectors — operand
+    * FETCH is a distributed term-pruned scan + fold (that's where 10^12
+    * docs matter), but once an operand fits on the driver the boolean
+    * algebra is pure arithmetic; paying a Spark stage per min/max would be
+    * all scheduling overhead. Bails out (TooBig) when any operand exceeds
+    * `params.driverAlgebraMaxDocs`, falling back to the distributed
+    * algebra. Identical operation order → bit-identical scores (tested).
+    */
+  final class TooBigForDriver extends RuntimeException
+  type DScores = (scala.collection.Map[Long, Double], Double)
+
+  object DriverAlgebra extends ScoreAlgebra[DScores] {
+    private val limit = params.driverAlgebraMaxDocs
+
+    private def fetch(df: DataFrame): Array[(Long, Int, Int)] = {
+      val rows = df.limit(limit + 1).as[(Long, Int, Int)].collect()
+      if (rows.length > limit) throw new TooBigForDriver
+      rows
+    }
+
+    private def bm25(tf: Double, dl: Double, dfCount: Double): Double = {
+      val n = stats.total_docs.toDouble
+      val idf = StrictMath.log(((n - dfCount) + 0.5) / (dfCount + 0.5) + 1.0)
+      val docNorm = (1 - params.b) + params.b * (dl / stats.avg_doc_len)
+      idf * ((tf * (params.k1 + 1)) / (tf + params.k1 * docNorm))
+    }
+
+    private def scoreRows(rows: Array[(Long, Int, Int)]): DScores = {
+      val dfCount = rows.length.toDouble
+      var mx = 0.0
+      val m = new scala.collection.mutable.HashMap[Long, Double]()
+      rows.foreach { case (d, tf, dl) =>
+        val s = bm25(tf.toDouble, dl.toDouble, dfCount)
+        if (s > mx) mx = s
+        m(d) = s
+      }
+      val trueMax = if (m.size >= stats.total_docs) mx else math.max(mx, 0.0)
+      if (trueMax > 0) (m.map { case (d, s) => d -> s / trueMax }, 0.0)
+      else (m, 0.0)
+    }
+
+    override def empty: DScores = (Map.empty[Long, Double], 0.0)
+
+    override def termScore(rawTerm: String): DScores = {
+      val key = if (params.stemBareTerms) TextPipeline.term(rawTerm) else rawTerm
+      scoreRows(fetch(postings.filter($"term" === key)
+        .select($"docId", $"tf", $"doc_len")))
+    }
+
+    override def phraseScore(phraseText: String): DScores = {
+      val stems = TextPipeline.tokenizeQuery(phraseText)
+      if (stems.isEmpty) return empty
+      val rows = postings
+        .filter($"term".isin(stems.distinct: _*))
+        .select($"docId", $"doc_len", $"term", $"positions_vb")
+      val tfs = rows
+        .groupBy($"docId")
+        .agg(first($"doc_len").as("doc_len"),
+          collect_list(struct($"term", $"positions_vb")).as("tp"))
+        .as[(Long, Int, Seq[(String, Array[Byte])])]
+        .map { case (docId, dl, tp) =>
+          val termPos = tp.iterator.map { case (t, vb) =>
+            t -> graft.codec.VarByte.decodePositions(vb).toSeq
+          }.toMap
+          (docId, dl, PhraseMatch.phraseTf(stems, termPos))
+        }.filter(_._3 > 0)
+        .toDF("docId", "doc_len", "tf")
+      scoreRows(fetch(tfs.select($"docId", $"tf", $"doc_len")))
+    }
+
+    override def not(a: DScores): DScores =
+      (a._1.map { case (d, s) => d -> (1 - s) }, 1.0 - a._2)
+
+    private def merge(a: DScores, b: DScores, f: (Double, Double) => Double, d: Double): DScores = {
+      val keys = a._1.keySet ++ b._1.keySet
+      if (keys.size > limit) throw new TooBigForDriver
+      (keys.iterator.map { k =>
+        k -> f(a._1.getOrElse(k, a._2), b._1.getOrElse(k, b._2))
+      }.toMap, d)
+    }
+
+    override def and(a: DScores, b: DScores): DScores =
+      merge(a, b, math.min, math.min(a._2, b._2))
+    override def or(a: DScores, b: DScores): DScores =
+      merge(a, b, math.max, math.max(a._2, b._2))
+    override def add(a: DScores, b: DScores, wa: Double, wb: Double): DScores =
+      merge(a, b, (x, y) => wa * x + wb * y, wa * a._2 + wb * b._2)
+
+    override def normalize(a: DScores): DScores = {
+      var mx = 0.0
+      a._1.valuesIterator.foreach(v => if (v > mx) mx = v)
+      val trueMax = if (a._1.size >= stats.total_docs) mx else math.max(mx, a._2)
+      if (trueMax > 0) (a._1.map { case (d, s) => d -> s / trueMax }, a._2 / trueMax)
+      else a
+    }
+  }
+
+  /** Driver-algebra top-k; None when an operand is too big for the driver. */
+  def topKDriver(query: String, accuracy: Double, k: Int): Option[Vector[(Long, Double)]] =
+    try {
+      val (m, default) = QueryEvaluator.evaluate(query, DriverAlgebra, params)
+      val sparseTop = m.toVector.filter(_._2 >= accuracy)
+        .sortBy { case (d, s) => (-s, d) }.take(k)
+      val needFill = default >= accuracy &&
+        (sparseTop.length < k || sparseTop.last._2 <= default)
+      if (!needFill) Some(sparseTop)
+      else {
+        val present = m.keySet
+        val absentSrc =
+          if (present.size <= 10000)
+            dict.select($"docId").filter(!$"docId".isin(present.toSeq: _*))
+          else
+            dict.select($"docId").join(
+              spark.createDataset(present.toSeq).toDF("docId"),
+              Seq("docId"), "left_anti")
+        val absent = absentSrc.orderBy($"docId".asc).limit(k)
+          .as[Long].collect().toVector.map(d => (d, default))
+        Some((sparseTop ++ absent).sortBy { case (d, sc) => (-sc, d) }.take(k))
+      }
+    } catch { case _: TooBigForDriver => None }
 
   /** Top-k (score desc, docId asc) after the accuracy filter
     * (BM25Ranker.cpp:40-42 + our defined tiebreak, SURVEY.md §7). Densifies
@@ -217,9 +349,20 @@ final class SparkSearchEngine(
       case _ => None
     }
 
+  /** Route a query along the cheapest exact path: single bare term → WAND
+    * over the block index; driver-sized operands → distributed fetch +
+    * driver algebra; otherwise the fully distributed algebra. All three
+    * are bit-identical (tested). */
+  def topKAuto(query: String, accuracy: Double, k: Int): Vector[(Long, Double)] =
+    asSingleTerm(query) match {
+      case Some(t) => termTopKWand(t, accuracy, k)
+      case None => topKDriver(query, accuracy, k)
+        .getOrElse(topK(scores(query), accuracy, k))
+    }
+
   /** Full search with snippets over the source turns table. */
   def search(query: String, turns: DataFrame, accuracy: Double = 0.0): Vector[SearchHit] = {
-    val top = topK(scores(query), accuracy, params.topK)
+    val top = topKAuto(query, accuracy, params.topK)
     if (top.isEmpty) return Vector.empty
     val ids = top.map(_._1)
     val byId = top.toMap
@@ -235,13 +378,9 @@ final class SparkSearchEngine(
     }.sortBy(h => (-h.score, h.docId)).toVector
   }
 
-  /** DataFrame variant for the driver harness (SparkEntry). Single-term
-    * queries route through block-max WAND (identical results, pruned IO). */
+  /** DataFrame variant for the driver harness (SparkEntry). */
   def searchFrame(query: String, accuracy: Double = 0.0, k: Int = 100): DataFrame = {
-    val top = asSingleTerm(query) match {
-      case Some(t) => termTopKWand(t, accuracy, k)
-      case None => topK(scores(query), accuracy, k)
-    }
+    val top = topKAuto(query, accuracy, k)
     spark.createDataset(top).toDF("docId", "score")
       .join(dict, Seq("docId"), "left")
       .select($"docId", $"conv_id", $"turn_idx", $"score")

@@ -50,7 +50,8 @@ final case class StageMetric(stage: String, rows: Long, wallMs: Long, skipped: B
   * `processed` flag (InvertedIndex.cpp:29-46). Per-partition lineage rows
   * with row counts and wall time are appended per stage.
   */
-final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096) {
+final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096,
+    rawShards: Int = 1) {
   import spark.implicits._
 
   /** Explicit shuffle width. An un-parameterized repartitionByRange lets
@@ -105,7 +106,7 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     if (!resume) io.drop(Tables.Lineage)
 
     runStage(Tables.PostingsRaw, resume, metrics) {
-      val raw = withDocIds(turns, assumeSorted).mapPartitions { iter =>
+      def tokenized(slice: Dataset[(Long, Turn)]) = slice.mapPartitions { iter =>
         iter.flatMap { case (docId, turn) =>
           val (docLen, terms) = TextPipeline.analyze(turn.text)
           val sentinel = RawIndexRow("", docId, 0, docLen, Array.empty[Byte],
@@ -117,10 +118,28 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
           Iterator.single(sentinel) ++ postings
         }
       }
-      io.write(raw.toDF(), Tables.PostingsRaw)
+      val ids = withDocIds(turns, assumeSorted)
+      if (rawShards <= 1) {
+        io.write(tokenized(ids).toDF(), Tables.PostingsRaw)
+      } else {
+        // shard-level resume: at corpus scale a restart must not redo the
+        // whole tokenize pass, so each docId-modulo shard commits its own
+        // sub-table (the shuffle files behind the id assignment are reused
+        // across shard jobs within a session; a restarted session skips
+        // committed shards entirely). Reading `postings_raw` sees all
+        // shards via parquet partition discovery (shard=N dirs).
+        val s = rawShards
+        (0 until s).foreach { i =>
+          val shardName = s"${Tables.PostingsRaw}/shard=$i"
+          if (!(resume && io.exists(shardName)))
+            io.write(tokenized(ids.filter(_._1 % s == i)).toDF(), shardName)
+        }
+        // top-level commit marker, written after the last shard
+        io.touchSuccess(Tables.PostingsRaw)
+      }
     }
 
-    lazy val raw = io.read(Tables.PostingsRaw)
+    lazy val raw = io.read(Tables.PostingsRaw).drop("shard")
 
     runStage(Tables.DocDict, resume, metrics) {
       val dict = raw.filter(col("term") === "")

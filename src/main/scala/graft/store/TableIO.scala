@@ -18,6 +18,8 @@ trait TableIO {
   def drop(name: String): Unit
   /** Replace a table that the new contents may also read from. */
   def replace(df: DataFrame, name: String): Unit
+  /** Mark a multi-part (sharded) table committed. */
+  def touchSuccess(name: String): Unit
 }
 
 final class ParquetTableIO(spark: SparkSession, warehouse: String) extends TableIO {
@@ -37,6 +39,11 @@ final class ParquetTableIO(spark: SparkSession, warehouse: String) extends Table
     df.write.mode(SaveMode.Append).parquet(path(name))
 
   override def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  override def touchSuccess(name: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(name), "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true).close()
+  }
 
   override def exists(name: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(name), "_SUCCESS")

@@ -110,6 +110,21 @@ class EngineSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("driver-algebra path bit-identical to the distributed path on q01-q20") {
+    val (io, _) = built
+    val engine = new SparkSearchEngine(spark, io)
+    val tiny = new SparkSearchEngine(spark, io,
+      GraftParams(driverAlgebraMaxDocs = 2)) // forces TooBig fallback
+    queries.foreach { case (name, (q, accuracy)) =>
+      val distributed = engine.topK(engine.scores(q), accuracy, 100)
+      val driver = engine.topKDriver(q, accuracy, 100)
+      assert(driver.isDefined, s"$name should fit the driver path")
+      assert(driver.get == distributed, s"$name '$q'")
+      // the too-big bailout must fall back, not fail
+      assert(tiny.topKAuto(q, accuracy, 100) == distributed, s"$name fallback")
+    }
+  }
+
   test("WAND term top-k identical to the exhaustive path (all q terms + edge cases)") {
     val (io, oracle) = built
     val engine = new SparkSearchEngine(spark, io)
@@ -174,6 +189,27 @@ class EngineSpec extends AnyFunSuite {
     queries.take(6).foreach { case (name, (q, acc)) =>
       assert(e1.topK(e1.scores(q), acc, 50) == e2.topK(e2.scores(q), acc, 50), name)
     }
+  }
+
+  test("sharded tokenize stage: identical index, per-shard resume") {
+    val (io, _) = built
+    import spark.implicits._
+    val wh4 = java.nio.file.Files.createTempDirectory("graft_wh4_").toString
+    val io4 = new ParquetTableIO(spark, wh4)
+    val turns = TranscriptGen.generate(spark, Convs)
+    new IndexBuilder(spark, io4, blockSize = 8, rawShards = 3).build(turns)
+    def content(i: graft.store.TableIO) = i.read(Tables.Postings)
+      .as[(String, Long, Int, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5.toSeq)).sortBy(r => (r._1, r._2)).toSeq
+    assert(content(io4) == content(io))
+    // drop one shard + downstream stages: resume redoes only those
+    io4.drop(s"${Tables.PostingsRaw}/shard=1")
+    io4.drop(Tables.PostingsRaw + "/_SUCCESS_DUMMY") // no-op guard
+    new java.io.File(s"$wh4/${Tables.PostingsRaw}/_SUCCESS").delete()
+    Seq(Tables.DocDict, Tables.Stats, Tables.TermStats, Tables.Postings, Tables.Blocks)
+      .foreach(io4.drop)
+    new IndexBuilder(spark, io4, blockSize = 8, rawShards = 3).build(turns, resume = true)
+    assert(content(io4) == content(io))
   }
 
   test("resume: killed-after-stage build completes to an identical index") {
