@@ -27,7 +27,8 @@ object SparkEntry {
   def transcriptEngine(spark: SparkSession, dir: String): SparkSearchEngine =
     engines.getOrElseUpdate(dir, {
       val convs = math.max(200L, (sfOf(dir) * 20000).toLong)
-      val wh = s"/tmp/graft_entry_wh_fmt${graft.build.Tables.FormatVersion}/convs_$convs"
+      val wh = s"/tmp/graft_entry_wh_fmt${graft.build.Tables.FormatVersion}" +
+        s"_gen${TranscriptGen.Version}/convs_$convs"
       val io = new ParquetTableIO(spark, wh)
       val turns = TranscriptGen.generate(spark, convs)
       new IndexBuilder(spark, io).build(turns, resume = true, assumeSorted = true)

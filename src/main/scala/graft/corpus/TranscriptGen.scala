@@ -11,6 +11,10 @@ import java.sql.Timestamp
   */
 object TranscriptGen {
 
+  /** Bump when generated content changes — cache paths embed this so a
+    * resume never mixes corpora across generator versions. */
+  val Version = 2
+
   /** Vocabulary chosen to exercise stem collisions, apostrophes, hyphens,
     * ghost tokens (normalize→""), stop words, and planted phrases. */
   private val vocab: Vector[String] = Vector(
