@@ -59,6 +59,7 @@ object Bench {
 
     // ---- part 1: build-throughput scaling ------------------------------
     var turnsCount = 0L
+    val contentHashes = scala.collection.mutable.Map.empty[Int, Long]
     def buildAt(cores: Int, recordStages: Boolean): Double = {
       val spark = session(cores)
       import spark.implicits._
@@ -72,6 +73,16 @@ object Bench {
       if (recordStages) metrics.foreach { m =>
         results(s"stage_${m.stage}_sec") = m.wallMs / 1000.0
         if (m.wallMs > 0) results(s"stage_${m.stage}_rows_per_sec") = m.rows * 1000.0 / m.wallMs
+      }
+      // order-independent content hash of the postings table — the
+      // determinism half of the scaling criterion: every parallelism level
+      // must produce the identical index (untimed)
+      if (!contentHashes.contains(cores)) {
+        import org.apache.spark.sql.functions.{bit_xor, xxhash64}
+        contentHashes(cores) = io.read("postings")
+          .select(xxhash64(col("term"), col("docId"), col("tf"),
+            col("doc_len"), col("positions_vb")).as("h"))
+          .agg(bit_xor(col("h"))).as[Long].head()
       }
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -98,6 +109,8 @@ object Bench {
     results("scaling_efficiency") = ((turnsCount / sHi) / (turnsCount / sLo)) / (hi.toDouble / lo)
     results(s"scaling_efficiency_${hi}_$cpus") =
       if (cpus > hi) ((turnsCount / sMax) / (turnsCount / sHi)) / (cpus.toDouble / hi) else 1.0
+    results("index_identical_across_parallelism") =
+      if (contentHashes.values.toSet.size == 1) 1.0 else 0.0
 
     // ---- part 2: operator suite on the driver tables -------------------
     val spark = session(cpus)

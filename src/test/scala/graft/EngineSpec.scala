@@ -151,9 +151,13 @@ class EngineSpec extends AnyFunSuite {
     val joined = io.read(Tables.DocDict)
       .join(turns, Seq("conv_id", "turn_idx"), "full_outer")
     assert(joined.filter($"docId".isNull || $"text".isNull).count() == 0)
-    // doc_len must equal the raw token count of the source text
-    val bad = joined.as[(String, Int, Long, Int, String, String, String, java.sql.Timestamp)]
     assert(io.read(Tables.DocDict).count() == turns.count())
+    // doc_len must equal the raw token count of the source text, per row
+    val badLen = joined.select($"doc_len", $"text")
+      .as[(Int, String)]
+      .filter { case (dl, text) => graft.text.TextPipeline.tokenize(text).length != dl }
+      .count()
+    assert(badLen == 0)
   }
 
   test("golden files: oracle top-10 matches the checked-in fixtures exactly") {
