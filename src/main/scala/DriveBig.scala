@@ -1,0 +1,45 @@
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.build.IndexBuilder
+import graft.corpus.TranscriptGen
+import graft.model.Turn
+import graft.store.ParquetTableIO
+
+object DriveBig {
+  def main(args: Array[String]): Unit = {
+    val convs = 2250000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val src = "/tmp/big_turns"
+    if (!new java.io.File(src + "/_SUCCESS").exists()) {
+      TranscriptGen.generate(spark, convs)
+        .repartitionByRange(64, col("conv_id"), col("turn_idx"))
+        .write.mode("overwrite").parquet(src)
+      println("source written")
+    }
+    val turns = spark.read.parquet(src).as[Turn]
+    val n = turns.count()
+    val wh = "/tmp/big_wh"
+    val t0 = System.nanoTime()
+    val m = new IndexBuilder(spark, new ParquetTableIO(spark, wh), rawShards = 4).build(turns)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"BIG: turns=$n wall=$sec%.1f s tp=${n / sec}%.0f turns/s")
+    println(m.map(x => f"${x.stage}=${x.wallMs / 1000.0}%.1f(${x.rows}r)").mkString(" "))
+    // query latency at 10M turns
+    val io = new ParquetTableIO(spark, wh)
+    val engine = new graft.api.SparkSearchEngine(spark, io)
+    for (q <- Seq("whale", "\"blue whale\"", "(\"blue whale\" OR \"query engine\") NOT \"red fish\"", "\"blue whale\" whale engine"); rep <- 1 to 2) {
+      val t1 = System.nanoTime()
+      val top = engine.topKAuto(q, 0.0, 100)
+      println(f"QUERY [$q] rep$rep ${(System.nanoTime() - t1) / 1e9}%.2f s top=${top.headOption}")
+    }
+    val sizes = new java.io.File(wh).listFiles.map(d => d.getName + "=" +
+      (Option(d.listFiles).map(_.map(_.length).sum).getOrElse(0L) / 1048576) + "MB")
+    println("SIZES: " + sizes.mkString(" "))
+    spark.stop()
+  }
+}
