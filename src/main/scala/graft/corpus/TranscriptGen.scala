@@ -13,7 +13,7 @@ object TranscriptGen {
 
   /** Bump when generated content changes — cache paths embed this so a
     * resume never mixes corpora across generator versions. */
-  val Version = 2
+  val Version = 3
 
   /** Vocabulary chosen to exercise stem collisions, apostrophes, hyphens,
     * ghost tokens (normalize→""), stop words, and planted phrases. */
@@ -63,8 +63,14 @@ object TranscriptGen {
       val words = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
       while (i < nWords) {
-        if (rnd.nextInt(10) == 0 && phrases.nonEmpty) {
+        val r = rnd.nextInt(10)
+        if (r == 0 && phrases.nonEmpty) {
           words ++= phrases(rnd.nextInt(phrases.size))
+        } else if (r <= 3) {
+          // log-uniform long tail (~50k distinct terms): real transcript
+          // vocabularies are heavy-tailed; without this every term is a
+          // head term and the index layout is never exercised on rare terms
+          words += "tok" + math.exp(rnd.nextDouble() * 10.82).toLong // e^10.82 ≈ 50k
         } else {
           words += vocab(rnd.nextInt(vocab.size))
         }
