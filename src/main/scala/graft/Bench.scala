@@ -94,11 +94,15 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val lo = 2
     val hi = 8
-    def minOf(cores: Int, recordStages: Boolean): Double =
-      (1 to reps).map(r => buildAt(cores, recordStages && r == 1)).min
-    val sLo = minOf(lo, recordStages = false)
-    val sHi = minOf(hi, recordStages = true)
-    val sMax = if (cpus > hi) minOf(cpus, recordStages = false) else sHi
+    val levels = if (cpus > hi) Seq(lo, hi, cpus) else Seq(lo, hi)
+    val times = scala.collection.mutable.Map.empty[Int, Double]
+    for (r <- 1 to reps; cores <- levels) {
+      val s = buildAt(cores, recordStages = cores == hi && r == 1)
+      times(cores) = math.min(times.getOrElse(cores, Double.MaxValue), s)
+    }
+    val sLo = times(lo)
+    val sHi = times(hi)
+    val sMax = times.getOrElse(cpus, sHi)
     results("build_turns_total") = turnsCount.toDouble
     results(s"index_build_local${lo}_sec") = sLo
     results(s"index_build_local${hi}_sec") = sHi
