@@ -120,6 +120,9 @@ object SparkEntry {
       Multimodal.extractFeatures(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))),
     "q18_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))),
+    "q23_image_decode" -> ((s, dir) =>
+      Multimodal.imageFeatures(s,
+        Multimodal.synthesizeImages(s.read.parquet(t(dir, "documents")).limit(300)))),
 
     // ---- the search engine itself (oracle: sbt test golden suite) -----
     "q19_bm25_term" -> ((s, dir) => transcriptEngine(s, dir).searchFrame("whale")),

@@ -63,6 +63,62 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  // ---- REAL image path (JDK ImageIO — no external codecs needed) -------
+
+  /** Deterministic 16×16 RGB PNG derived from the doc text: an actual
+    * encoded image, so the decode below is a REAL codec round-trip, not a
+    * stub (audio/video remain stubbed — their codecs aren't in the JVM). */
+  def synthesizeImages(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bytes = (text + id).getBytes("UTF-8")
+        var i = 0
+        while (i < 256) {
+          val r = if (bytes.nonEmpty) bytes(i % bytes.length) & 0xff else 0
+          val g = if (bytes.nonEmpty) bytes((i * 7 + 3) % bytes.length) & 0xff else 0
+          val b = (id + i).toInt & 0xff
+          img.setRGB(i % 16, i / 16, (r << 16) | (g << 8) | b)
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF("media_id", "png")
+  }
+
+  /** REAL decode + feature extraction + resize: ImageIO parses the PNG,
+    * features = per-channel means, thumbnail = 4×4 grayscale via a real
+    * Graphics2D rescale. Batched in mapPartitions like a Pandas-UDF batch. */
+  def imageFeatures(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("media_id", "png").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, png) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var r = 0L; var g = 0L; var b = 0L
+          for (y <- 0 until h; x <- 0 until w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          }
+          val n = (w * h).toDouble
+          val thumb = new java.awt.image.BufferedImage(4, 4,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g2 = thumb.createGraphics()
+          g2.drawImage(img, 0, 0, 4, 4, null); g2.dispose()
+          val gray = (for (y <- 0 until 4; x <- 0 until 4)
+            yield (thumb.getRGB(x, y) & 0xff).toFloat).toArray
+          (id, w, h, r / n, g / n, b / n, gray)
+        }
+      }
+      .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b", "thumb_gray")
+      .orderBy($"media_id")
+  }
+
   /** Frame sampling for video rows: every `stride`-th 4-byte window of the
     * payload is a "frame"; real decoders substitute frame extraction with
     * the same (media_id, frame_idx, frame_bytes) output shape. */

@@ -106,6 +106,25 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("real image decode: PNG round-trip through ImageIO, resize, features") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val images = Multimodal.synthesizeImages(docs)
+    val feats = Multimodal.imageFeatures(spark, images)
+      .as[(Long, Int, Int, Double, Double, Double, Seq[Float])].collect()
+    assert(feats.length == 40)
+    feats.foreach { case (_, w, h, r, g, b, thumb) =>
+      assert(w == 16 && h == 16)
+      assert(r >= 0 && r <= 255 && g >= 0 && g <= 255 && b >= 0 && b <= 255)
+      assert(thumb.length == 16 && thumb.forall(v => v >= 0 && v <= 255))
+    }
+    // deterministic across runs
+    val again = Multimodal.imageFeatures(spark, Multimodal.synthesizeImages(docs))
+      .as[(Long, Int, Int, Double, Double, Double, Seq[Float])].collect()
+    assert(feats.map(f => (f._1, f._4, f._5, f._6)).toSeq ==
+      again.map(f => (f._1, f._4, f._5, f._6)).toSeq)
+  }
+
   test("rolling hash: shift-sensitive, deterministic") {
     val t1 = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i")
     assert(TextOps.rollingHash(t1) == TextOps.rollingHash(t1))
