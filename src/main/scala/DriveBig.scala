@@ -1,3 +1,7 @@
+/** Reproduces the BASELINE.md 10M-turn scale datapoint: generates a
+  * 2.25M-conversation corpus (~10.1M turns, 2.1 GB parquet), runs the full
+  * sharded build at local[32], then times warm queries.
+  * `sbt "runMain DriveBig"` (needs ~10 GB under /tmp). */
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import graft.build.IndexBuilder
