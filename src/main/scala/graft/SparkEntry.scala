@@ -24,9 +24,16 @@ object SparkEntry {
   private def sfOf(dir: String): Double =
     "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
 
+  private def corpusConvs(dir: String): Long = math.max(200L, (sfOf(dir) * 20000).toLong)
+
+  /** The deterministic transcript corpus the engine indexes for `dir` —
+    * Verify dumps it so the DuckDB BM25 oracles (q19/q20) can see it. */
+  def corpus(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.Turn] =
+    TranscriptGen.generate(spark, corpusConvs(dir))
+
   def transcriptEngine(spark: SparkSession, dir: String): SparkSearchEngine =
     engines.getOrElseUpdate(dir, {
-      val convs = math.max(200L, (sfOf(dir) * 20000).toLong)
+      val convs = corpusConvs(dir)
       val wh = s"/tmp/graft_entry_wh_fmt${graft.build.Tables.FormatVersion}" +
         s"_gen${TranscriptGen.Version}/convs_$convs"
       val io = new ParquetTableIO(spark, wh)
@@ -39,6 +46,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     transcriptEngine(spark, "/root/testdata/sf0.001")
       .searchFrame("\"blue whale\" OR \"query engine\"")
+
+  /** Contract projection of searchFrame: scores as round(s·1e9) so the
+    * DuckDB oracle compare is ulp-robust (see q19/q20 notes). */
+  private def scoreE9(df: DataFrame): DataFrame =
+    df.select(col("docId"), col("conv_id"), col("turn_idx"),
+      round(col("score") * 1e9).cast("long").as("score_e9"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (scan/filter/agg/join/window/topk) ------------
@@ -98,10 +111,16 @@ object SparkEntry {
     "q07_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashLsh(s, s.read.parquet(t(dir, "documents")).limit(2000))),
     "q08_simhash" -> ((s, dir) => Dedup.simHash(s, s.read.parquet(t(dir, "documents")))),
+    // exact all-pairs ground truth at contract scale (DuckDB-checkable);
+    // the LSH-pruned scale paths stay under q07/q24 + the sbt suite
     "q09_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(s, s.read.parquet(t(dir, "documents")).limit(2000))),
+      Dedup.ngramJaccardBrute(s, s.read.parquet(t(dir, "documents")))),
     "q10_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupExact(s.read.parquet(t(dir, "embeddings")), threshold = 0.3)),
+    "q24_embedding_neardup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDup(s, s.read.parquet(t(dir, "embeddings")), threshold = 0.3)),
+    "q25_ngram_jaccard_lsh" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s, s.read.parquet(t(dir, "documents")).limit(2000))),
 
     // ---- text analysis ------------------------------------------------
     "q11_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(t(dir, "documents")))),
@@ -116,28 +135,47 @@ object SparkEntry {
       Similarity.lshTopK(s, s.read.parquet(t(dir, "embeddings")), queryId = 0L, k = 20)),
 
     // ---- multimodal plumbing (decode stubbed, see Multimodal) ---------
+    // array columns are digested to md5(to_json(...)) for the contract
+    // output only (the compare harness sorts the frame and arrays aren't
+    // hashable there); the library API keeps the real arrays
     "q17_media_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))),
+      Multimodal.extractFeatures(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          md5(to_json(col("features"))).as("features_md5"), col("feature_norm"))),
+    // frame payloads as UTF-8 strings for the contract (binary columns are
+    // unsortable bytearrays in the harness's pandas compare)
     "q18_media_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))),
+      Multimodal.sampleFrames(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_bytes").cast("string").as("frame_str"))),
     "q23_image_decode" -> ((s, dir) =>
       Multimodal.imageFeatures(s,
-        Multimodal.synthesizeImages(s.read.parquet(t(dir, "documents")).limit(300)))),
+        Multimodal.synthesizeImages(s.read.parquet(t(dir, "documents")).limit(300)))
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          md5(to_json(col("thumb_gray"))).as("thumb_md5"))),
 
-    // ---- the search engine itself (oracle: sbt test golden suite) -----
-    "q19_bm25_term" -> ((s, dir) => transcriptEngine(s, dir).searchFrame("whale")),
-    "q20_bm25_phrase" -> ((s, dir) => transcriptEngine(s, dir).searchFrame("\"blue whale\"")),
-    "q21_bm25_boolean" -> ((s, dir) =>
-      transcriptEngine(s, dir).searchFrame("(\"blue whale\" OR \"query engine\") NOT \"red fish\"")),
-    "q22_bm25_mixed" -> ((s, dir) =>
-      transcriptEngine(s, dir).searchFrame("\"blue whale\" whale engine")))
+    // ---- the search engine itself ------------------------------------
+    // bit-identity across the four internal paths is the sbt golden suite;
+    // q19/q20 additionally oracle against an independent DuckDB BM25 over
+    // the dumped corpus (scores rounded to 1e-9 — ln() last-ulp differs
+    // between StrictMath and libm, and the contract compares value hashes)
+    "q19_bm25_term" -> ((s, dir) => scoreE9(transcriptEngine(s, dir).searchFrame("whale"))),
+    "q20_bm25_phrase" -> ((s, dir) =>
+      scoreE9(transcriptEngine(s, dir).searchFrame("\"blue whale\""))),
+    "q21_bm25_boolean" -> ((s, dir) => scoreE9(
+      transcriptEngine(s, dir).searchFrame("(\"blue whale\" OR \"query engine\") NOT \"red fish\""))),
+    "q22_bm25_mixed" -> ((s, dir) => scoreE9(
+      transcriptEngine(s, dir).searchFrame("\"blue whale\" whale engine"))))
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB sum(BIGINT) returns HUGEINT (float64 in the harness frame, a
+    // hash mismatch vs Spark's int64) — every sum is CAST back to BIGINT
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
-        |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
         |  count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
@@ -145,7 +183,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_revenue_by_nation" ->
       """SELECT n_name,
-        |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -161,7 +199,7 @@ object SparkEntry {
         |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q05_event_buckets" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, event_type,
-        |  count(*) AS n, sum(CAST(round(value*1000000) AS BIGINT)) AS value_e6
+        |  count(*) AS n, CAST(sum(CAST(round(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6
         |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
     "q06_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
@@ -196,6 +234,216 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // documents.text is pure [a-z0-9 ] (asserted in OpsSpec), so the
+    // reference tokenizer reduces to regexp_extract_all('[a-z0-9]+')
+    "q09_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+        |    END AS sh
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents))
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+        |         ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |              / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS jaccard
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    "q10_embedding_neardup" ->
+      """SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "q18_media_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  substring(text, CAST(f*64+1 AS INTEGER), 4) AS frame_str
+        |FROM documents, (SELECT unnest([0,1,2,3]) AS f)
+        |WHERE doc_id % 3 = 2 AND length(substring(text, CAST(f*64+1 AS INTEGER), 4)) > 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // Independent end-to-end BM25 oracles over the corpus dumped by Verify
+    // ({GRAFT_OUT} is substituted with the absolute output dir there).
+    // Tokenizer: maximal [A-Za-z0-9_'-] runs trimmed to \w ends; doc_len =
+    // raw token count (ghost tokens like "__" count); the whale-stem token
+    // forms in this corpus are exactly {whale, whales} (case-insensitive).
+    // Scoring replicates the engine's IEEE operation order; the final
+    // round-to-1e-9 absorbs ln() last-ulp variance (StrictMath vs libm).
+    "q19_bm25_term" ->
+      """WITH docs AS (
+        |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
+        |    len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+        |          t -> trim(t, '''-')), t -> t <> '')) AS doc_len,
+        |    len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+        |          t -> lower(trim(t, '''-')) IN ('whale', 'whales'))) AS tf
+        |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM docs),
+        |m AS (SELECT * FROM docs WHERE tf > 0),
+        |dfc AS (SELECT count(*)::DOUBLE AS df FROM m),
+        |scored AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    ln(((n - df) + 0.5) / (df + 0.5) + 1.0)
+        |      * ((tf::DOUBLE * 2.5) / (tf::DOUBLE + 1.5 * (0.25 + 0.75 * (doc_len::DOUBLE / avgdl)))) AS s
+        |  FROM m, st, dfc),
+        |mx AS (SELECT max(s) AS mx FROM scored)
+        |SELECT docId, conv_id, turn_idx,
+        |  CAST(round((0.4*(s/mx) + 0.6*(s/mx)) * 1000000000.0) AS BIGINT) AS score_e9
+        |FROM scored, mx ORDER BY s DESC, docId ASC LIMIT 100""".stripMargin,
+    // Phrase "blue whale": positional intersection INCLUDING the
+    // reference's stale-postings fold (a doc with "blue" but no whale-stem
+    // scores tf = count(blue)) — see PhraseMatch.phraseTf.
+    "q20_bm25_phrase" ->
+      """WITH raw AS (
+        |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
+        |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+        |        t -> trim(t, '''-')), t -> t <> '') AS toks
+        |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+        |pos AS (
+        |  SELECT docId, conv_id, turn_idx, len(toks) AS doc_len,
+        |    list_filter(list_transform(toks, (t, i) ->
+        |      CASE WHEN lower(t) = 'blue' THEN i - 1 ELSE -1 END), p -> p >= 0) AS bpos,
+        |    list_filter(list_transform(toks, (t, i) ->
+        |      CASE WHEN lower(t) IN ('whale', 'whales') THEN i - 1 ELSE -1 END), p -> p >= 0) AS wpos
+        |  FROM raw),
+        |tfs AS (
+        |  SELECT docId, conv_id, turn_idx, doc_len,
+        |    CASE WHEN len(bpos) = 0 THEN 0
+        |         WHEN len(wpos) = 0 THEN len(bpos)
+        |         ELSE len(list_intersect(wpos, list_transform(bpos, q -> q + 1))) END AS tf
+        |  FROM pos),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM tfs),
+        |m AS (SELECT * FROM tfs WHERE tf > 0),
+        |dfc AS (SELECT count(*)::DOUBLE AS df FROM m),
+        |scored AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    ln(((n - df) + 0.5) / (df + 0.5) + 1.0)
+        |      * ((tf::DOUBLE * 2.5) / (tf::DOUBLE + 1.5 * (0.25 + 0.75 * (doc_len::DOUBLE / avgdl)))) AS s
+        |  FROM m, st, dfc),
+        |mx AS (SELECT max(s) AS mx FROM scored),
+        |combined AS (SELECT docId, conv_id, turn_idx, 0.4*(s/mx) + 0.6*(s/mx) AS score FROM scored, mx)
+        |SELECT docId, conv_id, turn_idx,
+        |  CAST(round(score * 1000000000.0) AS BIGINT) AS score_e9
+        |FROM combined ORDER BY score DESC, docId ASC LIMIT 100""".stripMargin,
+    // Boolean algebra "(A OR B) NOT C" over dense per-doc vectors: absent
+    // docs hold each operator's default (NOT flips it to 1), so evaluating
+    // the same IEEE expressions densely over ALL docs reproduces the
+    // engine's sparse(frame)+default encoding exactly — including the
+    // dense fill of the final top-k (absent docs score the default).
+    // Stem token forms (graft.tools.StemMapCheck): blue={blue},
+    // whale={whale,whales}, queri={query,queries,querying},
+    // engin={engine,engines}, red={red}, fish={fish,fishes}.
+    "q21_bm25_boolean" ->
+      """WITH raw AS (
+        |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
+        |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+        |        t -> trim(t, '''-')), t -> t <> '') AS toks
+        |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+        |pos AS (
+        |  SELECT docId, conv_id, turn_idx, len(toks) AS doc_len,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) = 'blue' THEN i-1 ELSE -1 END), p -> p >= 0) AS bp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('whale','whales') THEN i-1 ELSE -1 END), p -> p >= 0) AS wp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('query','queries','querying') THEN i-1 ELSE -1 END), p -> p >= 0) AS qp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('engine','engines') THEN i-1 ELSE -1 END), p -> p >= 0) AS ep,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) = 'red' THEN i-1 ELSE -1 END), p -> p >= 0) AS rp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('fish','fishes') THEN i-1 ELSE -1 END), p -> p >= 0) AS fp
+        |  FROM raw),
+        |tfs AS (
+        |  SELECT docId, conv_id, turn_idx, doc_len,
+        |    CASE WHEN len(bp)=0 THEN 0 WHEN len(wp)=0 THEN len(bp) ELSE len(list_intersect(wp, list_transform(bp, q -> q+1))) END AS tfa,
+        |    CASE WHEN len(qp)=0 THEN 0 WHEN len(ep)=0 THEN len(qp) ELSE len(list_intersect(ep, list_transform(qp, q -> q+1))) END AS tfb,
+        |    CASE WHEN len(rp)=0 THEN 0 WHEN len(fp)=0 THEN len(rp) ELSE len(list_intersect(fp, list_transform(rp, q -> q+1))) END AS tfc
+        |  FROM pos),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl,
+        |         (count(*) FILTER (WHERE tfa > 0))::DOUBLE AS dfa,
+        |         (count(*) FILTER (WHERE tfb > 0))::DOUBLE AS dfb,
+        |         (count(*) FILTER (WHERE tfc > 0))::DOUBLE AS dfc
+        |       FROM tfs),
+        |sc AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    CASE WHEN tfa > 0 THEN ln(((n - dfa) + 0.5)/(dfa + 0.5) + 1.0) * ((tfa::DOUBLE * 2.5)/(tfa::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS sa,
+        |    CASE WHEN tfb > 0 THEN ln(((n - dfb) + 0.5)/(dfb + 0.5) + 1.0) * ((tfb::DOUBLE * 2.5)/(tfb::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS sb,
+        |    CASE WHEN tfc > 0 THEN ln(((n - dfc) + 0.5)/(dfc + 0.5) + 1.0) * ((tfc::DOUBLE * 2.5)/(tfc::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS scc
+        |  FROM tfs, st),
+        |mxs AS (SELECT max(sa) AS mxa, max(sb) AS mxb, max(scc) AS mxc FROM sc),
+        |normed AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    CASE WHEN sa > 0 THEN sa/mxa ELSE 0.0 END AS a,
+        |    CASE WHEN sb > 0 THEN sb/mxb ELSE 0.0 END AS b,
+        |    CASE WHEN scc > 0 THEN scc/mxc ELSE 0.0 END AS c
+        |  FROM sc, mxs),
+        |fin AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    1.0*(1.0 - c) + 1.0*greatest(b, a) AS sumv,
+        |    least(1.0 - c, greatest(b, a)) AS em
+        |  FROM normed),
+        |m2 AS (SELECT max(sumv) AS m FROM fin),
+        |res AS (SELECT docId, conv_id, turn_idx, 0.4*(sumv/m) + 0.6*em AS score FROM fin, m2)
+        |SELECT docId, conv_id, turn_idx, CAST(round(score*1000000000.0) AS BIGINT) AS score_e9
+        |FROM res ORDER BY score DESC, docId ASC LIMIT 100""".stripMargin,
+    // Mixed '"blue whale" whale engine': bare terms are looked up RAW
+    // (reference quirk) — 'whale' hits the whale stem key, 'engine' misses
+    // ('engin' is the key) and contributes an all-zero vector; the phrase
+    // result is PHRASE_BOOSTed onto the term stack, combined, normalized.
+    "q22_bm25_mixed" ->
+      """WITH raw AS (
+        |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
+        |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+        |        t -> trim(t, '''-')), t -> t <> '') AS toks
+        |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+        |pos AS (
+        |  SELECT docId, conv_id, turn_idx, len(toks) AS doc_len,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) = 'blue' THEN i-1 ELSE -1 END), p -> p >= 0) AS bp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('whale','whales') THEN i-1 ELSE -1 END), p -> p >= 0) AS wp
+        |  FROM raw),
+        |tfs AS (
+        |  SELECT docId, conv_id, turn_idx, doc_len,
+        |    CASE WHEN len(bp)=0 THEN 0 WHEN len(wp)=0 THEN len(bp) ELSE len(list_intersect(wp, list_transform(bp, q -> q+1))) END AS tfp,
+        |    len(wp) AS tft
+        |  FROM pos),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl,
+        |         (count(*) FILTER (WHERE tfp > 0))::DOUBLE AS dfp,
+        |         (count(*) FILTER (WHERE tft > 0))::DOUBLE AS dft
+        |       FROM tfs),
+        |sc AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    CASE WHEN tfp > 0 THEN ln(((n - dfp) + 0.5)/(dfp + 0.5) + 1.0) * ((tfp::DOUBLE * 2.5)/(tfp::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS sp,
+        |    CASE WHEN tft > 0 THEN ln(((n - dft) + 0.5)/(dft + 0.5) + 1.0) * ((tft::DOUBLE * 2.5)/(tft::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS stw
+        |  FROM tfs, st),
+        |mxs AS (SELECT max(sp) AS mxp, max(stw) AS mxt FROM sc),
+        |normed AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    CASE WHEN sp > 0 THEN sp/mxp ELSE 0.0 END AS p,
+        |    CASE WHEN stw > 0 THEN stw/mxt ELSE 0.0 END AS tw
+        |  FROM sc, mxs),
+        |stage1 AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    1.0*0.0 + 1.0*tw AS sum1, p
+        |  FROM normed),
+        |m1 AS (SELECT max(sum1) AS m1, max(p) AS mp FROM stage1),
+        |stage2 AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    0.4*(CASE WHEN m1 > 0 THEN sum1/m1 ELSE sum1 END) + 0.6*least(0.0, sum1) AS tp,
+        |    1.35*(0.4*(CASE WHEN mp > 0 THEN p/mp ELSE p END) + 0.6*p)
+        |      + 0.0*(0.4*(CASE WHEN mp > 0 THEN p/mp ELSE p END) + 0.6*p) AS boosted
+        |  FROM stage1, m1),
+        |stage3 AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    1.0*boosted + 1.0*tp AS sum2, least(boosted, tp) AS em
+        |  FROM stage2),
+        |m2 AS (SELECT max(sum2) AS m2 FROM stage3),
+        |stage4 AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    0.4*(CASE WHEN m2 > 0 THEN sum2/m2 ELSE sum2 END) + 0.6*em AS res0
+        |  FROM stage3, m2),
+        |m3 AS (SELECT max(res0) AS m3 FROM stage4),
+        |res AS (SELECT docId, conv_id, turn_idx,
+        |          CASE WHEN m3 > 0 THEN res0/m3 ELSE res0 END AS score FROM stage4, m3)
+        |SELECT docId, conv_id, turn_idx, CAST(round(score*1000000000.0) AS BIGINT) AS score_e9
+        |FROM res ORDER BY score DESC, docId ASC LIMIT 100""".stripMargin,
     "q15_ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -15,6 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val absOut = new java.io.File(outDir).getAbsolutePath
+    // dump the transcript corpus so the q19/q20 DuckDB oracles (which
+    // reference it via {GRAFT_OUT}) can recompute BM25 independently
+    try SparkEntry.corpus(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$absOut/corpus_turns")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] corpus dump failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +43,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{GRAFT_OUT}", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -128,6 +128,28 @@ object Dedup {
     if (a.isEmpty && b.isEmpty) 1.0
     else (a intersect b).size.toDouble / (a union b).size.toDouble
 
+  /** Exact ALL-PAIRS n-gram Jaccard — the contract/oracle-scale ground
+    * truth (O(n²) pairs: use only on bounded inputs; the 100 TB path is
+    * ngramJaccardPairs, which prunes candidates with MinHash LSH first).
+    * Shingle sets are computed once per doc (not per pair). */
+  def ngramJaccardBrute(
+      spark: SparkSession,
+      docs: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val sh = docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, shingles(t, shingleN).toSeq) }
+      .toDF("doc_id", "sh")
+    sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), $"doc_a" < $"doc_b")
+      .as[(Long, Seq[String], Long, Seq[String])]
+      .map { case (a, sa, b, sb) => (a, b, jaccard(sa.toSet, sb.toSet)) }
+      .toDF("doc_a", "doc_b", "jaccard")
+      .filter($"jaccard" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** N-gram-Jaccard near-dup pairs, bucketed by fingerprint-prefix to keep
     * the self-join bounded (the exact verify over LSH candidates). */
   def ngramJaccardPairs(
@@ -150,6 +172,20 @@ object Dedup {
       .toDF("doc_a", "doc_b", "jaccard")
       .filter($"jaccard" >= threshold)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Exact ALL-PAIRS embedding-cosine near-dup — contract/oracle-scale
+    * ground truth (O(n²) pairs over broadcast-nested-loop; bounded inputs
+    * only — at corpus scale use embeddingNearDup's hyperplane buckets).
+    * Pure Catalyst (`zip_with`/`aggregate` cosine), whole-stage codegen'd. */
+  def embeddingNearDupExact(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val l = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.join(r, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosineCol(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Embedding-cosine near-dup pairs over an LSH-style bucket (random
