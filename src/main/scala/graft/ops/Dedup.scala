@@ -27,63 +27,124 @@ object Dedup {
     else toks.sliding(n).map(_.mkString(" ")).toSet
   }
 
-  /** Deterministic 64-bit shingle hash (md5-based so any engine can
-    * reproduce it; Spark's hash() is engine-specific). */
-  def shingleHash64(s: String, seed: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest((seed.toString + ":" + s).getBytes("UTF-8"))
-    java.nio.ByteBuffer.wrap(md).getLong
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** MinHash signature: k independent permutations approximated by seeded
-    * hashes; signature(i) = min over shingles of hash_i(shingle). */
+  /** Deterministic 64-bit shingle hash (md5-based so any engine can
+    * reproduce it; Spark's hash() is engine-specific). The digest instance
+    * is reused per thread — getInstance per call is allocation-bound. */
+  def shingleHash64(s: String, seed: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest((seed.toString + ":" + s).getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d).getLong
+  }
+
+  /** splitmix64 finalizer (Steele et al., public domain in JDK
+    * SplittableRandom) — a full-avalanche 64-bit mixer; wrapping Long
+    * arithmetic, so any engine reproduces it. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: ONE md5 per shingle, then k seeded mixer
+    * "permutations" h_i(x) = mix64(x + i·φ64) — the standard k-hash-family
+    * construction, same estimator guarantees, ~k× fewer digests than
+    * hashing each shingle k times (the round-1 hot path: 64 MD5s per
+    * shingle). A linear (a·x+b) family without modular wraparound is NOT
+    * usable here: it is monotone in x, so every component would select the
+    * same min shingle. */
   def minHashSignature(sh: Set[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     sh.foreach { s =>
+      val x = shingleHash64(s, 0)
       var i = 0
       while (i < k) {
-        val h = shingleHash64(s, i)
-        if (h < sig(i)) sig(i) = h
+        val v = mix64(x + i * 0x9E3779B97F4A7C15L)
+        if (v < sig(i)) sig(i) = v
         i += 1
       }
     }
     sig
   }
 
+  private def minHashSigs(
+      spark: SparkSession, docs: DataFrame, shingleN: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, minHashSignature(shingles(text, shingleN), k)) }
+      .toDF("doc_id", "sig")
+  }
+
+  /** LSH candidate pairs only — band rows carry (band, 8-byte bucket hash,
+    * doc_id), NOT the k-long signature (round 1 shipped the full signature
+    * on both sides of a self-join: bands×sigBytes×2 shuffle bytes per doc;
+    * this is bands×16 bytes per doc plus one groupBy). Pairs are emitted
+    * inside each bucket; `maxBucket` caps degenerate buckets (e.g. all
+    * empty docs share one signature) so bucket width can't go quadratic —
+    * capped buckets are SKIPPED, trading recall on pathological keys for
+    * bounded work, like AQE skew-join salting would. */
+  def minHashLshCandidates(
+      spark: SparkSession,
+      docs: DataFrame,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 100000): DataFrame = {
+    import spark.implicits._
+    require(k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
+    val r = k / bands
+    val banded = minHashSigs(spark, docs, shingleN, k).as[(Long, Seq[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until bands).iterator.map { b =>
+          var h = 1125899906842597L // FNV-ish fold of the band's components
+          var i = b * r
+          while (i < (b + 1) * r) { h = h * 31 + sig(i); i += 1 }
+          (b, h, id)
+        }
+      }.toDF("band", "bucket", "doc_id")
+    banded.groupBy($"band", $"bucket")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
+      .select($"ids").as[Seq[Long]]
+      .flatMap { ids =>
+        val s = ids.sorted
+        s.indices.iterator.flatMap(i =>
+          (i + 1 until s.length).iterator.map(j => (s(i), s(j))))
+      }
+      .toDF("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** MinHash + LSH banding: docs sharing any band bucket are candidate
-    * pairs; verified candidates = estimated Jaccard ≥ threshold.
+    * pairs; reported candidates = estimated Jaccard ≥ threshold.
     *
-    * shingle→minhash is a doc-local flatMap; banding explodes k/r rows per
-    * doc; the single shuffle groups by (band, bucket-hash). Candidate
-    * verification re-reads only candidate docs (broadcast-joined at small
-    * candidate counts, shuffle-joined at scale).
-    */
+    * shingle→minhash is a doc-local flatMap; candidate generation is one
+    * groupBy on (band, bucket) with 24-byte rows; signatures are joined
+    * back ONCE per side only for the estimate (pairs ≪ docs, so AQE
+    * broadcasts the pair side). At warehouse scale persist `minHashSigs`
+    * once and reuse it across both joins instead of recomputing. */
   def minHashLsh(
       spark: SparkSession,
       docs: DataFrame,
       shingleN: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 100000): DataFrame = {
     import spark.implicits._
-    val rows = bands // r = k / bands
-    val r = k / bands
-    val sigs: Dataset[(Long, Array[Long])] = docs.select("doc_id", "text")
-      .as[(Long, String)]
-      .map { case (id, text) => (id, minHashSignature(shingles(text, shingleN), k)) }
-    val banded = sigs.flatMap { case (id, sig) =>
-      (0 until bands).iterator.map { b =>
-        val bandSig = sig.slice(b * r, (b + 1) * r).mkString(",")
-        (b, bandSig, id, sig)
-      }
-    }.toDF("band", "band_sig", "doc_id", "sig")
-    val pairs = banded.as("l").join(banded.as("r"),
-        $"l.band" === $"r.band" && $"l.band_sig" === $"r.band_sig" &&
-          $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"),
-        $"l.sig".as("sig_a"), $"r.sig".as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    pairs.as[(Long, Long, Seq[Long], Seq[Long])]
+    val cands = minHashLshCandidates(spark, docs, shingleN, k, bands, maxBucket)
+    val sigs = minHashSigs(spark, docs, shingleN, k)
+    cands
+      .join(sigs.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b")
+      .as[(Long, Long, Seq[Long], Seq[Long])]
       .map { case (a, b, sa, sb) =>
         val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
         (a, b, est)
@@ -158,7 +219,9 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
-    val lsh = minHashLsh(spark, docs, shingleN, threshold = 0.0)
+    // all bucket-sharing candidates (no estimate needed — the exact
+    // jaccard below is the filter), so the signature join is skipped
+    val lsh = minHashLshCandidates(spark, docs, shingleN)
     val texts = docs.select("doc_id", "text")
     val withA = lsh.join(texts.withColumnRenamed("doc_id", "doc_a")
       .withColumnRenamed("text", "text_a"), Seq("doc_a"))
@@ -179,11 +242,17 @@ object Dedup {
     * only — at corpus scale use embeddingNearDup's hyperplane buckets).
     * Pure Catalyst (`zip_with`/`aggregate` cosine), whole-stage codegen'd. */
   def embeddingNearDupExact(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val l = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val r = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    // norms once per vector (not per pair): cosine = dot/(‖a‖·‖b‖) with
+    // identical IEEE values, 3× fewer per-pair flops
+    val withNorm = embeddings.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .select(col("vec_id"), col("emb"),
+        sqrt(Similarity.dotCol(col("emb"), col("emb"))).as("nrm"))
+    val l = withNorm.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = withNorm.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     l.join(r, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        Similarity.cosineCol(col("emb_a"), col("emb_b")).as("cosine"))
+        (Similarity.dotCol(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
