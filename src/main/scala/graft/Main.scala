@@ -41,6 +41,9 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ctrl-C / SIGTERM cancels in-flight jobs (the *_terminate analogue);
+    // builds resume from the last committed stage on the next run
+    graft.util.Cancellation.installShutdownHook(spark)
     import spark.implicits._
 
     val params = GraftParams(
@@ -88,7 +91,9 @@ object Main {
             hits.foreach(h => println(
               f"${h.score}%.6f doc=${h.docId} ${h.conv_id}/${h.turn_idx} ${h.snippet.take(120)}"))
           case None =>
-            engine.topK(engine.scores(query), accuracy, params.topK)
+            // topKAuto routes along the cheapest exact path (WAND / driver
+            // algebra / distributed) — identical results, documented routing
+            engine.topKAuto(query, accuracy, params.topK)
               .foreach { case (d, s) => println(f"$s%.6f doc=$d") }
         }
 

@@ -80,6 +80,22 @@ final class SparkSearchEngine(
     }
   }
 
+  /** Frames cached by algebra evaluation, released once a top-k
+    * materializes — without this a long-lived session leaks cached frames
+    * until LRU eviction. The engine is single-query-at-a-time (like the
+    * reference's server); concurrent evaluations would release each
+    * other's caches early (correct, just slower). */
+  private val liveCaches = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def track(df: DataFrame): DataFrame =
+    liveCaches.synchronized { liveCaches += df; df }
+
+  /** Unpersist every frame cached by evaluation since the last release.
+    * Called by topK/search after collecting; safe to call any time (held
+    * Scores recompute lazily if re-used). */
+  def releaseCaches(): Unit = liveCaches.synchronized {
+    liveCaches.foreach(_.unpersist(false)); liveCaches.clear()
+  }
+
   object Algebra extends ScoreAlgebra[Scores] {
     /** Every op output is cached: the evaluator reuses operands in several
       * branches (stackCombine feeds each stack element into both the Σ and
@@ -87,8 +103,8 @@ final class SparkSearchEngine(
       * and without materialization the nested plans re-evaluate
       * exponentially. This is the sparse analogue of the reference
       * materializing every op as a dense map (BM25Ranker.cpp:241-300);
-      * frames are query-sized and LRU-evicted. */
-    private def cached(s: Scores): Scores = Scores(s.df.cache(), s.default)
+      * frames are query-sized and released after top-k (see liveCaches). */
+    private def cached(s: Scores): Scores = Scores(track(s.df.cache()), s.default)
 
     override def empty: Scores = Scores(emptyFrame, 0.0)
 
@@ -120,9 +136,10 @@ final class SparkSearchEngine(
           t -> graft.codec.VarByte.decodePositions(vb).toSeq
         }.toMap
         (docId, dl, PhraseMatch.phraseTf(stems, termPos))
-      }.filter(_._3 > 0).toDF("docId", "doc_len", "tf").cache()
-      val dfAgg = tfs.agg(count(lit(1)).cast("double").as("df_count"))
-      val scored = tfs.crossJoin(broadcast(dfAgg))
+      }.filter(_._3 > 0).toDF("docId", "doc_len", "tf")
+      val tfsC = track(tfs.cache())
+      val dfAgg = tfsC.agg(count(lit(1)).cast("double").as("df_count"))
+      val scored = tfsC.crossJoin(broadcast(dfAgg))
         .select($"docId", bm25Col($"tf", $"doc_len", $"df_count").as("score"))
       cached(maxNormalize(Scores(scored, 0.0)))
     }
@@ -275,7 +292,7 @@ final class SparkSearchEngine(
   /** Top-k (score desc, docId asc) after the accuracy filter
     * (BM25Ranker.cpp:40-42 + our defined tiebreak, SURVEY.md §7). Densifies
     * against the doc dictionary only when absent docs can still qualify. */
-  def topK(s: Scores, accuracy: Double, k: Int): Vector[(Long, Double)] = {
+  def topK(s: Scores, accuracy: Double, k: Int): Vector[(Long, Double)] = try {
     val sparseTop = s.df
       .filter($"score" >= accuracy)
       .orderBy($"score".desc, $"docId".asc)
@@ -292,7 +309,7 @@ final class SparkSearchEngine(
         .as[Long].collect().toVector.map(d => (d, s.default))
       (sparseTop ++ absent).sortBy { case (d, sc) => (-sc, d) }.take(k)
     }
-  }
+  } finally releaseCaches()
 
   /** Block-max WAND top-k for a single bare term — rank- and
     * score-identical to the exhaustive path (same IEEE operation order;

@@ -10,8 +10,9 @@ import graft.codec.VarByte
 object Tables {
   /** Bump on any index-table schema/layout change: resumable builds skip
     * committed stages, so a resume against tables from an older format
-    * must be impossible (cache paths embed this). */
-  val FormatVersion = 3
+    * must be impossible (cache paths embed this).
+    * v4: block payload split into scores + trailing positions sections. */
+  val FormatVersion = 4
   val PostingsRaw = "postings_raw"
   val DocDict = "doc_dict"
   val Stats = "stats"
@@ -211,13 +212,24 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     *
     * Idempotent per `batchId` via a lineage ledger row written last — the
     * standard exactly-once foreachBatch sink contract, and this pipeline's
-    * equivalent of marking documents processed.
+    * equivalent of marking documents processed. Crash safety:
+    *  - every append is batch-TAGGED (TableIO.appendTagged), so a replay of
+    *    a partially-written batch detects and removes the partial files
+    *    before re-appending — no duplicate documents, no docId reuse drift;
+    *  - bootstrap is gated on DocDict, not Stats: a crash inside the stats
+    *    swap (replace = drop+rename) can lose only the stats singleton,
+    *    which is then recomputed EXACTLY from the committed dictionary
+    *    instead of triggering a full build that would overwrite the index;
+    *  - a replay that removed partial files also recomputes stats from the
+    *    dictionary (the crashed attempt may have swapped stats in before
+    *    dying short of the ledger row).
     *
     * term_stats is a batch-build analytics artifact; the query paths derive
     * df from postings/blocks directly, so it is not maintained here.
     */
   def buildIncremental(newTurns: Dataset[Turn], batchId: Long): Seq[StageMetric] = {
     val ledgerStage = "incremental_batch"
+    val tag = s"batch$batchId"
     def ledgerRow(rows: Long, wallMs: Long) =
       io.append(spark.createDataset(
         Seq(LineageRow(ledgerStage, batchId.toInt, "done", rows, wallMs))).toDF(),
@@ -226,11 +238,23 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
       io.read(Tables.Lineage)
         .filter(col("stage") === ledgerStage && col("partition_id") === batchId.toInt)
         .limit(1).count() > 0) return Seq.empty // batch already committed
-    if (!io.exists(Tables.Stats)) {
+    if (!io.exists(Tables.DocDict)) {
       // bootstrap: full build, but still ledger this batchId for idempotency
       val m = build(newTurns)
       ledgerRow(m.map(_.rows).sum, m.map(_.wallMs).sum)
       return m
+    }
+
+    // crash repair: remove un-ledgered partial appends of THIS batch, and
+    // rebuild the stats singleton from the dictionary if the partial run
+    // swapped it (or died inside the swap)
+    val removedPartial =
+      Seq(Tables.DocDict, Tables.Postings, Tables.Blocks)
+        .map(io.deleteTagged(_, tag)).sum
+    if (removedPartial > 0 || !io.exists(Tables.Stats)) {
+      val repaired = io.read(Tables.DocDict)
+        .agg(count(lit(1)).as("total_docs"), avg(col("doc_len")).as("avg_doc_len"))
+      io.replace(repaired.coalesce(1), Tables.Stats)
     }
 
     val t0 = System.nanoTime()
@@ -254,17 +278,17 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
 
     val dictDelta = raw.filter(col("term") === "")
       .select(col("docId"), col("conv_id"), col("turn_idx"), col("doc_len"))
-    io.append(dictDelta, Tables.DocDict)
+    io.appendTagged(dictDelta, Tables.DocDict, tag)
 
     val sortedDelta = raw.filter(col("term") =!= "")
       .select("term", "docId", "tf", "doc_len", "positions_vb")
       .repartitionByRange(nShuffle, col("term"), col("docId"))
       .sortWithinPartitions("term", "docId")
       .cache()
-    io.append(sortedDelta, Tables.Postings)
+    io.appendTagged(sortedDelta, Tables.Postings, tag)
 
     val bs = blockSize
-    io.append(sortedDelta.as[PostingRow].mapPartitions { iter =>
+    io.appendTagged(sortedDelta.as[PostingRow].mapPartitions { iter =>
       new Iterator[IndexBlock] {
         private val it = iter.buffered
         def hasNext: Boolean = it.hasNext
@@ -282,7 +306,7 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
             maxTf, minDl, VarByte.encodeBlock(buf.toSeq))
         }
       }
-    }.toDF(), Tables.Blocks)
+    }.toDF(), Tables.Blocks, tag)
 
     // weighted incremental mean — the reference's updateMetadataDocument
     val (n2, sum2) = dictDelta.agg(count(lit(1)), sum(col("doc_len")))

@@ -67,7 +67,18 @@ object VarByte {
   /** One posting inside a block. */
   final case class Posting(docId: Long, tf: Int, docLen: Int, positions: Array[Int])
 
-  /** Encode postings (must be sorted by docId asc; positions asc). */
+  /** Encode postings (must be sorted by docId asc; positions asc).
+    *
+    * Layout v2 (Tables.FormatVersion 4) splits the payload into a SCORES
+    * section (docIds, then tf/docLen pairs) and a trailing POSITIONS
+    * section, so the term-scoring path (WAND) decodes only the scores —
+    * positions bytes are never touched except on a phrase read:
+    *
+    *   block := varint(n)
+    *            n × varint(docId delta)
+    *            n × ( varint(tf) varint(docLen) )
+    *            n × ( tf × varint(position delta) )
+    */
   def encodeBlock(postings: Seq[Posting]): Array[Byte] = {
     val out = new ByteArrayOutputStream(postings.size * 8)
     writeVarLong(out, postings.size.toLong)
@@ -78,6 +89,8 @@ object VarByte {
     postings.foreach { p =>
       writeVarLong(out, p.tf.toLong)
       writeVarLong(out, p.docLen.toLong)
+    }
+    postings.foreach { p =>
       var prevPos = 0L
       var i = 0
       while (i < p.positions.length) {
@@ -89,7 +102,12 @@ object VarByte {
     out.toByteArray
   }
 
-  def decodeBlock(bytes: Array[Byte]): Array[Posting] = {
+  private val noPositions = Array.empty[Int]
+
+  /** Decode only the scores section — (docId, tf, docLen) with a shared
+    * empty positions array. The WAND term path uses this; the positions
+    * bytes at the tail are never read. */
+  def decodeBlockScores(bytes: Array[Byte]): Array[Posting] = {
     val r = new Reader(bytes)
     val n = r.readVarLong().toInt
     val docIds = new Array[Long](n)
@@ -101,11 +119,33 @@ object VarByte {
     while (i < n) {
       val tf = r.readVarLong().toInt
       val dl = r.readVarLong().toInt
+      out(i) = Posting(docIds(i), tf, dl, noPositions)
+      i += 1
+    }
+    out
+  }
+
+  /** Full decode including per-posting positions. */
+  def decodeBlock(bytes: Array[Byte]): Array[Posting] = {
+    val r = new Reader(bytes)
+    val n = r.readVarLong().toInt
+    val docIds = new Array[Long](n)
+    var prev = 0L
+    var i = 0
+    while (i < n) { prev += r.readVarLong(); docIds(i) = prev; i += 1 }
+    val tfs = new Array[Int](n)
+    val dls = new Array[Int](n)
+    i = 0
+    while (i < n) { tfs(i) = r.readVarLong().toInt; dls(i) = r.readVarLong().toInt; i += 1 }
+    val out = new Array[Posting](n)
+    i = 0
+    while (i < n) {
+      val tf = tfs(i)
       val positions = new Array[Int](tf)
       var prevPos = 0L
       var j = 0
       while (j < tf) { prevPos += r.readVarLong(); positions(j) = prevPos.toInt; j += 1 }
-      out(i) = Posting(docIds(i), tf, dl, positions)
+      out(i) = Posting(docIds(i), tf, dls(i), positions)
       i += 1
     }
     out

@@ -47,7 +47,8 @@ object Wand {
       if (heap.size >= k && ub < heap.head._2) {
         pruned = true // UB-sorted: every later block is also dominated
       } else {
-        VarByte.decodeBlock(blk.block).foreach { p =>
+        // scores-only decode: the trailing positions section is skipped
+        VarByte.decodeBlockScores(blk.block).foreach { p =>
           val score = idf * tfPart(p.tf.toDouble, p.docLen.toDouble)
           if (heap.size < k) heap.enqueue((p.docId, score))
           else {

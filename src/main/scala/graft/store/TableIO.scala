@@ -20,6 +20,13 @@ trait TableIO {
   def replace(df: DataFrame, name: String): Unit
   /** Mark a multi-part (sharded) table committed. */
   def touchSuccess(name: String): Unit
+  /** Append under a batch tag: fully written to a temp table first, then
+    * moved in with tag-prefixed file names, so a crashed append is
+    * detectable and removable by tag (see deleteTagged). */
+  def appendTagged(df: DataFrame, name: String, tag: String): Unit
+  /** Remove files previously appendTagged with `tag` (crash cleanup);
+    * returns how many data files were removed. */
+  def deleteTagged(name: String, tag: String): Int
 }
 
 final class ParquetTableIO(spark: SparkSession, warehouse: String) extends TableIO {
@@ -54,6 +61,32 @@ final class ParquetTableIO(spark: SparkSession, warehouse: String) extends Table
     val p = new org.apache.hadoop.fs.Path(path(name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  private def fs =
+    new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def appendTagged(df: DataFrame, name: String, tag: String): Unit = {
+    val tmp = s"${name}__${tag}_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(path(tmp))
+    val dest = new org.apache.hadoop.fs.Path(path(name))
+    fs.mkdirs(dest)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path(tmp)))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, s"$tag-${f.getPath.getName}"))
+      }
+    drop(tmp)
+  }
+
+  override def deleteTagged(name: String, tag: String): Int = {
+    drop(s"${name}__${tag}_tmp") // stale temp from a crashed write
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    if (!fs.exists(p)) return 0
+    val tagged = fs.listStatus(p).filter(_.getPath.getName.startsWith(s"$tag-"))
+    tagged.foreach(f => fs.delete(f.getPath, false))
+    tagged.length
   }
 
   /** Write to a temp name first, then swap. (With an Iceberg catalog this

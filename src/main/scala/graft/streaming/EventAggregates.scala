@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming operators over the events stream — the streaming
   * counterparts of the batch q05 bucket aggregation. The reference has no
@@ -31,20 +31,36 @@ object EventAggregates {
   final case class UserSession(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via mapGroupsWithState: running per-user session
-    * aggregates with a processing-time idle timeout. */
-  def userSessions(events: Dataset[EventRow]): Dataset[UserSession] = {
+    * aggregates. With `idleTimeout = Some(d)` state for a user idle past d
+    * processing time is dropped (a final snapshot is emitted), bounding
+    * per-key state on a long-running stream; with None state is UNBOUNDED
+    * (grows with distinct users) — fine for bounded key spaces and tests.
+    * (Processing-time timeouts keep the micro-batch loop ticking, which
+    * `processAllAvailable`-style test harnesses never see settle — hence
+    * opt-in rather than default.) */
+  def userSessions(
+      events: Dataset[EventRow],
+      idleTimeout: Option[String] = None): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) => {
           val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          var n = prev.n; var total = prev.total; var last = prev.lastTs
-          rows.foreach { r =>
-            n += 1; total += r.value; last = math.max(last, r.ts.getTime)
+          if (state.hasTimedOut) {
+            state.remove() // idle: evict, emit the final session snapshot
+            UserSession(userId, prev.n, prev.total)
+          } else {
+            var n = prev.n; var total = prev.total; var last = prev.lastTs
+            rows.foreach { r =>
+              n += 1; total += r.value; last = math.max(last, r.ts.getTime)
+            }
+            state.update(SessionState(n, total, last))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            UserSession(userId, n, total)
           }
-          state.update(SessionState(n, total, last))
-          UserSession(userId, n, total)
         })
   }
 }

@@ -91,6 +91,20 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("algebra caches are released after top-k: no growth across queries") {
+    val (io, _) = built
+    val engine = new SparkSearchEngine(spark, io)
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    // warm once (lazy stats/postings), snapshot, then run repeatedly
+    engine.topK(engine.scores("(\"blue whale\" OR \"query engine\") NOT \"red fish\""), 0.0, 10)
+    val base = persisted
+    (1 to 15).foreach { _ =>
+      engine.topK(engine.scores("(\"blue whale\" OR \"query engine\") NOT \"red fish\""), 0.0, 10)
+      engine.topK(engine.scores("\"blue whale\" whale engine"), 0.0, 10)
+    }
+    assert(persisted <= base, s"cached RDDs grew across queries: $base -> $persisted")
+  }
+
   test("q01-q20: rank- and score-identical to the oracle") {
     val (io, oracle) = built
     val engine = new SparkSearchEngine(spark, io)

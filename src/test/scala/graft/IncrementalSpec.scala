@@ -60,6 +60,46 @@ class IncrementalSpec extends AnyFunSuite {
     assert(eInc.termTopKWand("whale", 0.0, 50) == eInc.topK(eInc.scores("whale"), 0.0, 50))
   }
 
+  test("crash repair: partial un-ledgered batch is cleaned and replayed exactly") {
+    import spark.implicits._
+    val io = new ParquetTableIO(spark,
+      java.nio.file.Files.createTempDirectory("crash_wh_").toString)
+    val b = new IndexBuilder(spark, io, blockSize = 8)
+    val parts = allTurns.grouped((allTurns.size + 1) / 2).toSeq
+    b.buildIncremental(spark.createDataset(parts.head), batchId = 0L)
+
+    // simulate a crash mid-batch-1: some tagged dict rows landed, the
+    // stats singleton was swapped to the crashed attempt's values, but no
+    // ledger row was written
+    val fake = spark.createDataset(Seq(
+        (99990L, "conv-zzzzzzzz", 0, 7), (99991L, "conv-zzzzzzzz", 1, 9)))
+      .toDF("docId", "conv_id", "turn_idx", "doc_len")
+    io.appendTagged(fake, Tables.DocDict, "batch1")
+    io.replace(spark.createDataset(Seq((12345L, 99.9)))
+      .toDF("total_docs", "avg_doc_len"), Tables.Stats)
+
+    // replay of batch 1 must remove the partial files, repair stats, and
+    // append exactly once
+    b.buildIncremental(spark.createDataset(parts(1)), batchId = 1L)
+    val dict = io.read(Tables.DocDict).as[(Long, String, Int, Int)].collect()
+    assert(dict.length == allTurns.size, "no duplicates, no leftover partial rows")
+    assert(!dict.exists(_._2 == "conv-zzzzzzzz"))
+    assert(dict.map(_._1).toSet == (0L until allTurns.size.toLong).toSet,
+      "docIds stay dense — partial rows must not shift nextId")
+    val (n, _) = io.read(Tables.Stats).as[(Long, Double)].head()
+    assert(n == allTurns.size)
+
+    // crash inside the stats swap alone (stats missing, dict intact) must
+    // NOT trigger the bootstrap full build — batch 2 repairs and appends
+    io.drop(Tables.Stats)
+    b.buildIncremental(spark.createDataset(parts.head.map(t =>
+      t.copy(conv_id = "conv-extra" + t.conv_id)).toIndexedSeq), batchId = 2L)
+    assert(io.read(Tables.DocDict).count() == allTurns.size + parts.head.size)
+    val (n2, m2) = io.read(Tables.Stats).as[(Long, Double)].head()
+    assert(n2 == allTurns.size + parts.head.size)
+    assert(m2 > 0)
+  }
+
   test("structured streaming ingest via foreachBatch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -50,5 +50,21 @@ class VarByteSpec extends AnyFunSuite {
 
   test("empty block") {
     assert(VarByte.decodeBlock(VarByte.encodeBlock(Nil)).isEmpty)
+    assert(VarByte.decodeBlockScores(VarByte.encodeBlock(Nil)).isEmpty)
+  }
+
+  test("scores-only decode matches full decode, no positions materialized") {
+    val rnd = new Random(7)
+    for (_ <- 0 until 100) {
+      val ps = randomBlock(rnd)
+      val enc = VarByte.encodeBlock(ps)
+      val scores = VarByte.decodeBlockScores(enc)
+      val full = VarByte.decodeBlock(enc)
+      assert(scores.length == full.length)
+      scores.zip(full).foreach { case (s, f) =>
+        assert(s.docId == f.docId && s.tf == f.tf && s.docLen == f.docLen)
+        assert(s.positions.isEmpty)
+      }
+    }
   }
 }
