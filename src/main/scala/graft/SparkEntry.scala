@@ -144,7 +144,7 @@ object SparkEntry {
     "q17_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          md5(to_json(col("features"))).as("features_md5"), col("feature_norm"))),
+          md5(to_json(col("feature_sums"))).as("features_md5"))),
     // frame payloads as UTF-8 strings for the contract (binary columns are
     // unsortable bytearrays in the harness's pandas compare)
     "q18_media_frames" -> ((s, dir) =>
@@ -256,6 +256,39 @@ object SparkEntry {
         |              / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS jaccard
         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    // simhash is md5-derived by design so any engine can reproduce it:
+    // md5_number_upper is the little-endian first 8 digest bytes; the
+    // arithmetic byte swap below rebuilds the engine's big-endian signed
+    // long, then the per-bit weighted majority is a 64-way unnest
+    "q08_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t FROM documents),
+        |cnt AS (SELECT doc_id, t, count(*)::HUGEINT AS w FROM tok GROUP BY doc_id, t),
+        |hv AS (
+        |  SELECT doc_id, w,
+        |    (   ((le // 1::HUGEINT) % 256) * 72057594037927936::HUGEINT
+        |      + ((le // 256::HUGEINT) % 256) * 281474976710656::HUGEINT
+        |      + ((le // 65536::HUGEINT) % 256) * 1099511627776::HUGEINT
+        |      + ((le // 16777216::HUGEINT) % 256) * 4294967296::HUGEINT
+        |      + ((le // 4294967296::HUGEINT) % 256) * 16777216::HUGEINT
+        |      + ((le // 1099511627776::HUGEINT) % 256) * 65536::HUGEINT
+        |      + ((le // 281474976710656::HUGEINT) % 256) * 256::HUGEINT
+        |      + ((le // 72057594037927936::HUGEINT) % 256) ) AS be
+        |  FROM (SELECT doc_id, w, md5_number_upper('0:' || t)::HUGEINT AS le FROM cnt)),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (be // (2::HUGEINT ^ i)::HUGEINT) % 2 = 1 THEN w ELSE -w END) AS acc
+        |  FROM hv, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY doc_id, i),
+        |uns AS (
+        |  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (2::HUGEINT ^ i)::HUGEINT ELSE 0::HUGEINT END) AS u
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN coalesce(u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |            THEN coalesce(u, 0::HUGEINT) - 18446744073709551616::HUGEINT
+        |            ELSE coalesce(u, 0::HUGEINT) END AS BIGINT) AS simhash
+        |FROM documents d LEFT JOIN uns USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q10_embedding_neardup" ->
       """SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -265,6 +298,27 @@ object SparkEntry {
         |  FROM embeddings a, embeddings b
         |  WHERE a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500)
         |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    // the decode STUB's integer byte-sum accumulators, recomputed from the
+    // payload (UTF-8 text bytes; documents are ASCII) — md5 of the same
+    // "[s0,...,s15]" json both engines render identically for integers
+    "q17_media_features" ->
+      """WITH slots AS (SELECT unnest(range(0, 16)) AS slot),
+        |bytes AS (
+        |  SELECT doc_id, p % 16 AS slot, ascii(substring(text, CAST(p + 1 AS INTEGER), 1))::BIGINT AS b
+        |  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS p FROM documents)),
+        |sums AS (SELECT doc_id, slot, sum(b)::BIGINT AS s FROM bytes GROUP BY doc_id, slot),
+        |arr AS (
+        |  SELECT d.doc_id,
+        |    '[' || array_to_string(list(coalesce(s.s, 0) ORDER BY sl.slot), ',') || ']' AS js
+        |  FROM documents d CROSS JOIN slots sl
+        |  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.slot = sl.slot
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS media_id,
+        |  CASE WHEN a.doc_id % 3 = 0 THEN 'image' WHEN a.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  length(d.text)::BIGINT AS n_bytes,
+        |  md5(a.js) AS features_md5
+        |FROM arr a JOIN documents d USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
     "q18_media_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
         |  substring(text, CAST(f*64+1 AS INTEGER), 4) AS frame_str

@@ -11,8 +11,10 @@ object Tables {
   /** Bump on any index-table schema/layout change: resumable builds skip
     * committed stages, so a resume against tables from an older format
     * must be impossible (cache paths embed this).
-    * v4: block payload split into scores + trailing positions sections. */
-  val FormatVersion = 4
+    * v5: block payload = scores section (docIds, tf/docLen) + length-
+    * prefixed positions section, and BUILT blocks are positions-free
+    * (phrases read the postings table, which keeps full positions). */
+  val FormatVersion = 5
   val PostingsRaw = "postings_raw"
   val DocDict = "doc_dict"
   val Stats = "stats"
@@ -187,8 +189,8 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
               while (it.hasNext && it.head.term == term && buf.size < bs) {
                 val p = it.next()
                 maxTf = math.max(maxTf, p.tf); minDl = math.min(minDl, p.doc_len)
-                buf += VarByte.Posting(p.docId, p.tf, p.doc_len,
-                  VarByte.decodePositions(p.positions_vb))
+                // scoring-only block: positions live in the postings table
+                buf += VarByte.Posting(p.docId, p.tf, p.doc_len, Array.empty)
               }
               IndexBlock(term, buf.head.docId, buf.last.docId, buf.size,
                 maxTf, minDl, VarByte.encodeBlock(buf.toSeq))
@@ -299,8 +301,7 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
           while (it.hasNext && it.head.term == term && buf.size < bs) {
             val p = it.next()
             maxTf = math.max(maxTf, p.tf); minDl = math.min(minDl, p.doc_len)
-            buf += VarByte.Posting(p.docId, p.tf, p.doc_len,
-              VarByte.decodePositions(p.positions_vb))
+            buf += VarByte.Posting(p.docId, p.tf, p.doc_len, Array.empty)
           }
           IndexBlock(term, buf.head.docId, buf.last.docId, buf.size,
             maxTf, minDl, VarByte.encodeBlock(buf.toSeq))

@@ -70,14 +70,17 @@ object VarByte {
   /** Encode postings (must be sorted by docId asc; positions asc).
     *
     * Layout v2 (Tables.FormatVersion 4) splits the payload into a SCORES
-    * section (docIds, then tf/docLen pairs) and a trailing POSITIONS
-    * section, so the term-scoring path (WAND) decodes only the scores —
-    * positions bytes are never touched except on a phrase read:
+    * section (docIds, then tf/docLen pairs) and an OPTIONAL length-prefixed
+    * positions section, so the term-scoring path (WAND) decodes only the
+    * scores, and a positions-free scoring index (what IndexBuilder writes —
+    * phrases read the postings table, which keeps full positions) spends
+    * exactly one byte on the empty section:
     *
     *   block := varint(n)
     *            n × varint(docId delta)
     *            n × ( varint(tf) varint(docLen) )
-    *            n × ( tf × varint(position delta) )
+    *            varint(positionsByteLen)
+    *            [ n × ( tf × varint(position delta) ) ]
     */
   def encodeBlock(postings: Seq[Posting]): Array[Byte] = {
     val out = new ByteArrayOutputStream(postings.size * 8)
@@ -90,15 +93,19 @@ object VarByte {
       writeVarLong(out, p.tf.toLong)
       writeVarLong(out, p.docLen.toLong)
     }
+    val pos = new ByteArrayOutputStream()
     postings.foreach { p =>
       var prevPos = 0L
       var i = 0
       while (i < p.positions.length) {
-        writeVarLong(out, p.positions(i) - prevPos)
+        writeVarLong(pos, p.positions(i) - prevPos)
         prevPos = p.positions(i).toLong
         i += 1
       }
     }
+    val posBytes = pos.toByteArray
+    writeVarLong(out, posBytes.length.toLong)
+    out.write(posBytes, 0, posBytes.length)
     out.toByteArray
   }
 
@@ -125,7 +132,8 @@ object VarByte {
     out
   }
 
-  /** Full decode including per-posting positions. */
+  /** Full decode; positions are empty when the block was encoded without
+    * them (positionsByteLen == 0). */
   def decodeBlock(bytes: Array[Byte]): Array[Posting] = {
     val r = new Reader(bytes)
     val n = r.readVarLong().toInt
@@ -137,14 +145,19 @@ object VarByte {
     val dls = new Array[Int](n)
     i = 0
     while (i < n) { tfs(i) = r.readVarLong().toInt; dls(i) = r.readVarLong().toInt; i += 1 }
+    val posLen = r.readVarLong()
+    val hasPositions = posLen > 0
     val out = new Array[Posting](n)
     i = 0
     while (i < n) {
       val tf = tfs(i)
-      val positions = new Array[Int](tf)
-      var prevPos = 0L
-      var j = 0
-      while (j < tf) { prevPos += r.readVarLong(); positions(j) = prevPos.toInt; j += 1 }
+      val positions = if (!hasPositions) noPositions else {
+        val ps = new Array[Int](tf)
+        var prevPos = 0L
+        var j = 0
+        while (j < tf) { prevPos += r.readVarLong(); ps(j) = prevPos.toInt; j += 1 }
+        ps
+      }
       out(i) = Posting(docIds(i), tf, dls(i), positions)
       i += 1
     }

@@ -30,18 +30,23 @@ object Multimodal {
     * here (e.g. via JNI or a vendored pure-JVM decoder). The stub derives
     * deterministic pseudo-pixels from the payload so every downstream
     * stage (feature extraction, resize, frame sampling) is exercised with
-    * stable expected values. */
-  def decodeStub(payload: Array[Byte], kind: String): Array[Float] = {
+    * stable expected values. Accumulation is INTEGER (byte sums per slot)
+    * so any engine can recompute it exactly (the DuckDB q17 oracle does);
+    * the float feature vector is a single exact division away. */
+  def decodeStubSums(payload: Array[Byte]): Array[Long] = {
     // ??? <- real codec goes here; deterministic fake below
     val n = 16
-    val out = new Array[Float](n)
+    val out = new Array[Long](n)
     var i = 0
     while (i < payload.length) {
-      out(i % n) += (payload(i) & 0xff) / 255.0f
+      out(i % n) += (payload(i) & 0xff).toLong
       i += 1
     }
     out
   }
+
+  def decodeStub(payload: Array[Byte], kind: String): Array[Float] =
+    decodeStubSums(payload).map(_ / 255.0f)
 
   /** Feature extraction over media batches: binary → fixed-width feature
     * vector + metadata. `mapPartitions` so a real decoder can amortize
@@ -54,12 +59,13 @@ object Multimodal {
       .mapPartitions { batch =>
         // per-partition decoder setup would happen here
         batch.map { case (id, kind, payload) =>
-          val feat = decodeStub(payload, kind)
+          val sums = decodeStubSums(payload)
+          val feat = sums.map(_ / 255.0f)
           val norm = math.sqrt(feat.map(x => x.toDouble * x).sum)
-          (id, kind, payload.length.toLong, feat, norm)
+          (id, kind, payload.length.toLong, sums, feat, norm)
         }
       }
-      .toDF("media_id", "kind", "n_bytes", "features", "feature_norm")
+      .toDF("media_id", "kind", "n_bytes", "feature_sums", "features", "feature_norm")
       .orderBy($"media_id")
   }
 

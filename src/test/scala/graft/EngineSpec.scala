@@ -72,7 +72,9 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("compressed blocks round-trip to the same postings") {
+  test("compressed blocks round-trip to the same posting scores") {
+    // blocks are the positions-FREE scoring index (positions live in the
+    // postings table, asserted positionally in the previous test)
     val (io, oracle) = built
     import spark.implicits._
     val decoded = io.read(Tables.Blocks)
@@ -86,8 +88,9 @@ class EngineSpec extends AnyFunSuite {
     assert(decoded.size == want.size)
     want.foreach { case (k, ps) =>
       val p = decoded(k)
-      assert(p.positions.toSeq == ps.toSeq && p.tf == ps.length)
+      assert(p.tf == ps.length)
       assert(p.docLen == oracle.docLens(k._2))
+      assert(p.positions.isEmpty, "built blocks must not carry positions")
     }
   }
 

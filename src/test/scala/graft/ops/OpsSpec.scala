@@ -101,7 +101,7 @@ class OpsSpec extends AnyFunSuite {
     assert(f1.toSeq == f2.toSeq)
     val kinds = f1.map(_.getString(1)).toSet
     assert(kinds == Set("image", "audio", "video"))
-    assert(f1.forall(_.getDouble(4) > 0))
+    assert(f1.forall(_.getDouble(5) > 0)) // feature_norm
     val frames = Multimodal.sampleFrames(spark, media).collect()
     assert(frames.nonEmpty)
   }
