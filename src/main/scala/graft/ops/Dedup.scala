@@ -183,16 +183,69 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** SimHash near-dup PAIRS: band the 64-bit fingerprint into `bands`
+    * equal slices; docs sharing any band bucket are candidates, verified
+    * by exact hamming distance. Pigeonhole: a pair within hamming
+    * distance < bands differs in fewer bits than there are bands, so at
+    * least one band is identical — recall is EXACTLY 1.0 whenever
+    * `maxBits < bands` (the default), which is why the q26 contract row
+    * can be checked against an all-pairs DuckDB oracle. One groupBy on
+    * (band, 16-bit bucket); in-bucket pairs, skew-capped like MinHash. */
+  def simHashNearDup(
+      spark: SparkSession,
+      docs: DataFrame,
+      maxBits: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
+    import spark.implicits._
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sh = docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, simHash64(t)) }
+    val banded = sh.flatMap { case (id, h) =>
+      (0 until bands).iterator.map(b => (b, (h >>> (b * width)) & mask, id, h))
+    }.toDF("band", "bucket", "doc_id", "simhash")
+    banded.groupBy($"band", $"bucket")
+      .agg(collect_list(struct($"doc_id", $"simhash")).as("members"))
+      .filter(size($"members") > 1 && size($"members") <= maxBucket)
+      .select($"members").as[Seq[(Long, Long)]]
+      .flatMap { ms =>
+        val s = ms.sortBy(_._1)
+        s.indices.iterator.flatMap(i => (i + 1 until s.length).iterator.map { j =>
+          (s(i)._1, s(j)._1, java.lang.Long.bitCount(s(i)._2 ^ s(j)._2))
+        })
+      }
+      .toDF("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
+      .filter($"hamming" <= maxBits)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Exact word-n-gram Jaccard for candidate pairs (the verify step after
     * any LSH/banding pass). */
   def jaccard(a: Set[String], b: Set[String]): Double =
     if (a.isEmpty && b.isEmpty) 1.0
     else (a intersect b).size.toDouble / (a union b).size.toDouble
 
+  /** |a ∩ b| for SORTED distinct arrays by a single merge walk — the
+    * per-pair kernel of the brute-force jaccard (no per-pair set builds). */
+  private def sortedIntersectionSize(a: Array[String], b: Array[String]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** Exact ALL-PAIRS n-gram Jaccard — the contract/oracle-scale ground
     * truth (O(n²) pairs: use only on bounded inputs; the 100 TB path is
     * ngramJaccardPairs, which prunes candidates with MinHash LSH first).
-    * Shingle sets are computed once per doc (not per pair). */
+    * Shingle arrays are sorted once per doc; each pair is one merge walk
+    * (|union| = |a|+|b|−|∩|), so the inner loop allocates nothing. */
   def ngramJaccardBrute(
       spark: SparkSession,
       docs: DataFrame,
@@ -200,12 +253,17 @@ object Dedup {
       threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
     val sh = docs.select("doc_id", "text").as[(Long, String)]
-      .map { case (id, t) => (id, shingles(t, shingleN).toSeq) }
+      .map { case (id, t) => (id, shingles(t, shingleN).toArray.sorted) }
       .toDF("doc_id", "sh")
     sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), $"doc_a" < $"doc_b")
-      .as[(Long, Seq[String], Long, Seq[String])]
-      .map { case (a, sa, b, sb) => (a, b, jaccard(sa.toSet, sb.toSet)) }
+      .as[(Long, Array[String], Long, Array[String])]
+      .map { case (a, sa, b, sb) =>
+        val inter = sortedIntersectionSize(sa, sb)
+        val union = sa.length + sb.length - inter
+        val j = if (union == 0) 1.0 else inter.toDouble / union.toDouble
+        (a, b, j)
+      }
       .toDF("doc_a", "doc_b", "jaccard")
       .filter($"jaccard" >= threshold)
       .orderBy($"doc_a", $"doc_b")

@@ -55,6 +55,20 @@ class OpsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(a ^ far) > java.lang.Long.bitCount(a ^ c))
   }
 
+  test("simhash near-dup pairs: banded search equals brute force (pigeonhole recall)") {
+    import spark.implicits._
+    val docs = docsWithDups
+    val got = Dedup.simHashNearDup(spark, docs, maxBits = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val hashes = docs.as[(Long, String)].collect().map { case (id, t) => (id, Dedup.simHash64(t)) }
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want)
+    assert(want.exists { case (a, b, h) => a == 0 && b == 1000 && h == 0 }) // planted dup
+  }
+
   test("ngram jaccard verifies planted near-dup above threshold") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(spark, docsWithDups, threshold = 0.3)
