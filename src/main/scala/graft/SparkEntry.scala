@@ -155,12 +155,16 @@ object SparkEntry {
       Multimodal.sampleFrames(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))
         .select(col("media_id"), col("frame_idx"),
           col("frame_bytes").cast("string").as("frame_str"))),
+    // REAL codec check: PNG is lossless, so the ImageIO-decoded channel
+    // means must equal means computed straight from the synthesis bytes —
+    // which DuckDB recomputes from text (the AWT thumbnail stays API-only:
+    // Graphics2D rescale isn't an engine-reproducible function)
     "q23_image_decode" -> ((s, dir) =>
       Multimodal.imageFeatures(s,
-        Multimodal.synthesizeImages(s.read.parquet(t(dir, "documents")).limit(300)))
+        Multimodal.synthesizeImages(
+          s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 300)))
         .select(col("media_id"), col("width"), col("height"),
-          col("mean_r"), col("mean_g"), col("mean_b"),
-          md5(to_json(col("thumb_gray"))).as("thumb_md5"))),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
 
     // ---- the search engine itself ------------------------------------
     // bit-identity across the four internal paths is the sbt golden suite;
@@ -338,6 +342,24 @@ object SparkEntry {
         |  FROM embeddings a, embeddings b
         |  WHERE a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500)
         |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    // the REAL ImageIO path: synthesized 16x16 pixels are pure functions
+    // of (text || doc_id) bytes and PNG is lossless, so the decoded
+    // channel means must equal means recomputed from the source string
+    "q23_image_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, i,
+        |    ascii(substr(s, CAST((i % L) + 1 AS INTEGER), 1))::BIGINT AS r,
+        |    ascii(substr(s, CAST(((i*7 + 3) % L) + 1 AS INTEGER), 1))::BIGINT AS g,
+        |    (doc_id + i) % 256 AS b
+        |  FROM (SELECT doc_id, text || CAST(doc_id AS VARCHAR) AS s,
+        |          length(text || CAST(doc_id AS VARCHAR)) AS L
+        |        FROM documents WHERE doc_id < 300),
+        |       (SELECT unnest(range(0, 256)) AS i))
+        |SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+        |  sum(r)::DOUBLE / 256.0 AS mean_r,
+        |  sum(g)::DOUBLE / 256.0 AS mean_g,
+        |  sum(b)::DOUBLE / 256.0 AS mean_b
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // the decode STUB's integer byte-sum accumulators, recomputed from the
     // payload (UTF-8 text bytes; documents are ASCII) — md5 of the same
     // "[s0,...,s15]" json both engines render identically for integers
