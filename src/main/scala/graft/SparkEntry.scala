@@ -140,6 +140,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(s.read.parquet(t(dir, "embeddings")), queryId = 0L, k = 20)),
     "q16_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(s, s.read.parquet(t(dir, "embeddings")), queryId = 0L, k = 20)),
+    "q27_ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(s, s.read.parquet(t(dir, "embeddings")), queryId = 0L, k = 20)),
 
     // ---- multimodal plumbing (decode stubbed, see Multimodal) ---------
     // array columns are digested to md5(to_json(...)) for the contract

@@ -58,6 +58,57 @@ object Similarity {
   def adaptivePlanes(n: Long): Int =
     math.min(20, math.max(2, math.ceil(math.log(n / 64.0) / math.log(2)).toInt))
 
+  /** IVF-flat ANN: vectors are assigned to their max-cosine centroid cell
+    * (centroids = a deterministic seeded sample of the corpus, broadcast —
+    * the k-means-free variant; a trained codebook drops in by replacing
+    * `centroids`); a query scans only its `nProbe` closest cells. The
+    * 100 TB shape: the cell column is a partition key, so a probe is a
+    * partition-pruned scan; assignment is one broadcast map pass.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    val n = embeddings.count()
+    val rnd = new scala.util.Random(seed)
+    val centroidIds = Seq.fill(nCells * 2)(math.abs(rnd.nextLong()) % n)
+      .distinct.take(nCells).sorted
+    val centroids = embeddings.filter($"vec_id".isin(centroidIds: _*))
+      .select("embedding").as[Seq[Float]].collect()
+    require(centroids.nonEmpty, "no centroids sampled")
+    val bC = spark.sparkContext.broadcast(centroids)
+    val cellOf = (v: Seq[Float]) => {
+      val cs = bC.value
+      var best = 0; var bestCos = Double.MinValue; var i = 0
+      while (i < cs.length) {
+        val c = cosine(v, cs(i))
+        if (c > bestCos) { bestCos = c; best = i }
+        i += 1
+      }
+      best
+    }
+    val assigned = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, cellOf(v)) }
+      .toDF("vec_id", "embedding", "cell")
+    val qVec = embeddings.filter($"vec_id" === queryId)
+      .select("embedding").as[Seq[Float]].head()
+    val probeCells = centroids.indices
+      .sortBy(i => -cosine(qVec, centroids(i))).take(nProbe).toSet
+    val bQ = spark.sparkContext.broadcast(qVec)
+    assigned
+      .filter($"vec_id" =!= queryId && $"cell".isin(probeCells.toSeq: _*))
+      .as[(Long, Seq[Float], Int)]
+      .map { case (id, v, _) => (id, cosine(v, bQ.value)) }
+      .toDF("vec_id", "cosine")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
   def lshTopK(
       spark: SparkSession,
       embeddings: DataFrame,

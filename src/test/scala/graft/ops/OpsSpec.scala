@@ -90,20 +90,36 @@ class OpsSpec extends AnyFunSuite {
     got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-12) }
   }
 
-  test("LSH ANN: good recall on clustered vectors") {
-    import spark.implicits._
+  private def clusteredVecs = {
     val rnd = new scala.util.Random(5)
     val centers = Array.fill(8, 16)(rnd.nextGaussian())
-    val vecs = (0L until 400L).map { i =>
+    (0L until 400L).map { i =>
       val c = centers((i % 8).toInt)
       (i, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
     }
-    val emb = spark.createDataset(vecs).toDF("vec_id", "embedding")
+  }
+
+  test("LSH ANN: good recall on clustered vectors") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
     val brute = Similarity.bruteForceTopK(emb, 0L, 10).as[(Long, Double)].collect().map(_._1).toSet
     val lsh = Similarity.lshTopK(spark, emb, 0L, 10, probeHamming = 2)
       .as[(Long, Double)].collect().map(_._1).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("IVF ANN: good recall on clustered vectors; scores exact within probed cells") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).as[(Long, Double)].collect()
+    val ivf = Similarity.ivfTopK(spark, emb, 0L, 10).as[(Long, Double)].collect()
+    val recall = (brute.map(_._1).toSet intersect ivf.map(_._1).toSet).size.toDouble / brute.length
+    assert(recall >= 0.7, s"recall $recall")
+    val exact = brute.toMap
+    ivf.foreach { case (id, c) =>
+      exact.get(id).foreach(e => assert(math.abs(c - e) < 1e-12))
+    }
   }
 
   test("media features: deterministic, exercises all kinds") {
