@@ -315,6 +315,48 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Connected components over near-dup pairs — the keeper-selection step
+    * of a dedup pipeline (near-dup is transitive only through clustering;
+    * keeping min-id per PAIR over-deletes). Pregel-style min-label
+    * propagation: each iteration is one distributed join+aggregate, and
+    * the loop runs ≤ component-diameter times (near-dup clusters are
+    * shallow; `maxIter` guards pathological chains). The driver loop holds
+    * only a change COUNTER per iteration — never rows.
+    *
+    * @return (doc_id, cluster_id = min doc_id in the component, keep) for
+    *         every node in `nodes`; singletons cluster to themselves. */
+  def dedupClusters(
+      spark: SparkSession,
+      pairs: DataFrame, // (doc_a, doc_b) near-dup pairs
+      nodes: DataFrame, // (doc_id) universe
+      maxIter: Int = 30): DataFrame = {
+    import spark.implicits._
+    val sym = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    var labels = nodes.select($"doc_id".as("id"), $"doc_id".as("label")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbr = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy($"src").agg(min($"label").as("nlabel"))
+      val next = labels.as("l").join(nbr, $"l.id" === nbr("src"), "left")
+        .select($"l.id".as("id"),
+          least($"l.label", coalesce($"nlabel", $"l.label")).as("label"))
+        .cache()
+      changed = next.as("n").join(labels.select($"id", $"label".as("old")), Seq("id"))
+        .filter($"label" =!= $"old").count()
+      labels.unpersist(false)
+      labels = next
+      it += 1
+    }
+    sym.unpersist(false)
+    require(changed == 0, s"dedupClusters did not converge in $maxIter iterations")
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id"),
+      ($"id" === $"label").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs over an LSH-style bucket (random
     * hyperplane signs, seeded) — the scale path for embedding dedup. */
   def embeddingNearDup(

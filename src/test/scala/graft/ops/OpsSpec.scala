@@ -69,6 +69,28 @@ class OpsSpec extends AnyFunSuite {
     assert(want.exists { case (a, b, h) => a == 0 && b == 1000 && h == 0 }) // planted dup
   }
 
+  test("dedup clusters: connected components equal a driver union-find") {
+    import spark.implicits._
+    val docs = docsWithDups
+    val pairs = Dedup.simHashNearDup(spark, docs, maxBits = 3, bands = 4)
+    val got = Dedup.dedupClusters(spark, pairs, docs)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    // driver union-find ground truth
+    val ids = docs.select("doc_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ids.foreach(i => assert(got(i) == find(i), s"doc $i"))
+    assert(got(1000L) == 0L, "planted exact dup clusters with its source")
+  }
+
   test("ngram jaccard verifies planted near-dup above threshold") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(spark, docsWithDups, threshold = 0.3)
