@@ -331,10 +331,16 @@ object Dedup {
       nodes: DataFrame, // (doc_id) universe
       maxIter: Int = 30): DataFrame = {
     import spark.implicits._
+    // localCheckpoint (not cache) each iteration: iterative self-joins grow
+    // the logical plan linearly and the optimizer cost superlinearly —
+    // truncating lineage per step is the standard iterative-algorithm
+    // pattern (on a real cluster use reliable checkpointing for fault
+    // tolerance; localCheckpoint trades that for speed)
     val sym = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .cache()
-    var labels = nodes.select($"doc_id".as("id"), $"doc_id".as("label")).cache()
+      .localCheckpoint(true)
+    var labels = nodes.select($"doc_id".as("id"), $"doc_id".as("label"))
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -343,7 +349,7 @@ object Dedup {
       val next = labels.as("l").join(nbr, $"l.id" === nbr("src"), "left")
         .select($"l.id".as("id"),
           least($"l.label", coalesce($"nlabel", $"l.label")).as("label"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.as("n").join(labels.select($"id", $"label".as("old")), Seq("id"))
         .filter($"label" =!= $"old").count()
       labels.unpersist(false)
