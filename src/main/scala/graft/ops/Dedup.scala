@@ -364,39 +364,47 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs over an LSH-style bucket (random
-    * hyperplane signs, seeded) — the scale path for embedding dedup. */
+    * hyperplane signs, seeded) — the scale path for embedding dedup.
+    * Bucket rows carry only (vec_id, bucket) — 16 bytes, NOT the vector —
+    * pairs are emitted inside buckets (skew-capped), and embeddings join
+    * back once per side for the exact cosine verify (AQE broadcasts the
+    * small pair side). Single-probe buckets are disjoint, so pairs are
+    * already unique. The two head() / count() calls are per-query
+    * constants (dims, corpus size), not per-row actions. */
   def embeddingNearDup(
       spark: SparkSession,
       embeddings: DataFrame,
       planesOpt: Option[Int] = None,
       threshold: Double = 0.95,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      maxBucket: Int = 100000): DataFrame = {
     import spark.implicits._
     val dims = embeddings.select(size(col("embedding"))).as[Int].head()
     val planes = planesOpt.getOrElse(Similarity.adaptivePlanes(embeddings.count()))
     val rnd = new scala.util.Random(seed)
     val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
     val bHyper = spark.sparkContext.broadcast(hyper)
-    val sigs = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
-      .map { case (id, v) =>
-        val h = bHyper.value
-        var sig = 0L
-        var p = 0
-        while (p < h.length) {
-          var dot = 0.0; var i = 0
-          while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
-          if (dot >= 0) sig |= (1L << p)
-          p += 1
-        }
-        (id, v, sig)
-      }.toDF("vec_id", "embedding", "bucket")
-    val pairs = sigs.as("l").join(sigs.as("r"),
-        $"l.bucket" === $"r.bucket" && $"l.vec_id" < $"r.vec_id")
-      .select($"l.vec_id".as("vec_a"), $"r.vec_id".as("vec_b"),
-        $"l.embedding".as("emb_a"), $"r.embedding".as("emb_b"))
-    pairs.as[(Long, Long, Seq[Float], Seq[Float])]
-      .map { case (a, b, va, vb) => (a, b, Similarity.cosine(va, vb)) }
-      .toDF("vec_a", "vec_b", "cosine")
+    val cands = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, Similarity.hyperplaneSig(v, bHyper.value)) }
+      .toDF("vec_id", "bucket")
+      .groupBy($"bucket").agg(collect_list($"vec_id").as("ids"))
+      .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
+      .select($"ids").as[Seq[Long]]
+      .flatMap { ids =>
+        val s = ids.sorted
+        s.indices.iterator.flatMap(i =>
+          (i + 1 until s.length).iterator.map(j => (s(i), s(j))))
+      }
+      .toDF("vec_a", "vec_b")
+    val withNorm = embeddings.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .select(col("vec_id"), col("emb"),
+        sqrt(Similarity.dotCol(col("emb"), col("emb"))).as("nrm"))
+    cands
+      .join(withNorm.toDF("vec_a", "emb_a", "nrm_a"), Seq("vec_a"))
+      .join(withNorm.toDF("vec_b", "emb_b", "nrm_b"), Seq("vec_b"))
+      .select($"vec_a", $"vec_b",
+        (Similarity.dotCol($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")).as("cosine"))
       .filter($"cosine" >= threshold)
       .orderBy($"vec_a", $"vec_b")
   }

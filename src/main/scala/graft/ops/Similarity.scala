@@ -58,6 +58,19 @@ object Similarity {
   def adaptivePlanes(n: Long): Int =
     math.min(20, math.max(2, math.ceil(math.log(n / 64.0) / math.log(2)).toInt))
 
+  /** Hyperplane-sign bucket of a vector (bit p = sign of v·hyper(p)). */
+  def hyperplaneSig(v: Seq[Float], hyper: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < hyper.length) {
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += hyper(p)(i) * v(i); i += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** IVF-flat ANN: vectors are assigned to their max-cosine centroid cell
     * (centroids = a deterministic seeded sample of the corpus, broadcast —
     * the k-means-free variant; a trained codebook drops in by replacing
@@ -123,19 +136,8 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
     val bHyper = spark.sparkContext.broadcast(hyper)
-    val bucketOf = (v: Seq[Float]) => {
-      val h = bHyper.value
-      var sig = 0L; var p = 0
-      while (p < h.length) {
-        var dot = 0.0; var i = 0
-        while (i < v.length) { dot += h(p)(i) * v(i); i += 1 }
-        if (dot >= 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    }
     val withBucket = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, bucketOf(v)) }
+      .map { case (id, v) => (id, v, hyperplaneSig(v, bHyper.value)) }
       .toDF("vec_id", "embedding", "bucket")
     val (qVec, qBucket) = withBucket.filter($"vec_id" === queryId)
       .as[(Long, Seq[Float], Long)].head() match { case (_, v, bkt) => (v, bkt) }
