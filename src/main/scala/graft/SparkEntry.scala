@@ -47,6 +47,30 @@ object SparkEntry {
     transcriptEngine(spark, "/root/testdata/sf0.001")
       .searchFrame("\"blue whale\" OR \"query engine\"")
 
+  // ---- ANN indexes, built once per (JVM lifetime isn't needed — /tmp
+  // persists) sf dir; _SUCCESS-gated so reruns are a read ------------------
+  private def dirKey(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def queryEmbedding(s: SparkSession, dir: String, id: Long): Seq[Float] = {
+    import s.implicits._
+    s.read.parquet(t(dir, "embeddings")).filter(col("vec_id") === id)
+      .select("embedding").as[Seq[Float]].head()
+  }
+
+  private def lshIndex(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/lsh_${dirKey(dir)}"
+    if (!new java.io.File(s"$p/assignments/_SUCCESS").exists())
+      Similarity.buildLshIndex(s, s.read.parquet(t(dir, "embeddings")), p)
+    p
+  }
+
+  private def ivfIndex(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/ivf16_${dirKey(dir)}"
+    if (!new java.io.File(s"$p/assignments/_SUCCESS").exists())
+      Similarity.buildIvfIndex(s, s.read.parquet(t(dir, "embeddings")), p, nCells = 16)
+    p
+  }
+
   /** Contract projection of searchFrame: scores as round(s·1e9) so the
     * DuckDB oracle compare is ulp-robust (see q19/q20 notes). */
   private def scoreE9(df: DataFrame): DataFrame =
@@ -144,10 +168,15 @@ object SparkEntry {
     // ---- similarity search -------------------------------------------
     "q15_ann_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(s.read.parquet(t(dir, "embeddings")), queryId = 0L, k = 20)),
+    // q16/q27 go through the PERSISTED index (built once per sf dir,
+    // cached in /tmp): the probe is a partition-pruned read, never a
+    // corpus scan — the index-once/query-many shape of the 100 TB brief
     "q16_ann_lsh_topk" -> ((s, dir) =>
-      Similarity.lshTopK(s, s.read.parquet(t(dir, "embeddings")), queryId = 0L, k = 20)),
+      Similarity.lshTopKIndexed(s, lshIndex(s, dir), queryEmbedding(s, dir, 0L),
+        queryId = 0L, k = 20)),
     "q27_ann_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(s, s.read.parquet(t(dir, "embeddings")), queryId = 0L, k = 20)),
+      Similarity.ivfTopKIndexed(s, ivfIndex(s, dir), queryEmbedding(s, dir, 0L),
+        queryId = 0L, k = 20)),
 
     // ---- multimodal plumbing (decode stubbed, see Multimodal) ---------
     // array columns are digested to md5(to_json(...)) for the contract

@@ -42,30 +42,35 @@ object Dedup {
     java.nio.ByteBuffer.wrap(d).getLong
   }
 
-  /** splitmix64 finalizer (Steele et al., public domain in JDK
-    * SplittableRandom) — a full-avalanche 64-bit mixer; wrapping Long
-    * arithmetic, so any engine reproduces it. */
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private val coeffCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
+  private def coeffs(k: Int): Array[(Long, Long)] =
+    coeffCache.computeIfAbsent(k, DetHash.permCoeffs(_))
 
-  /** MinHash signature: ONE md5 per shingle, then k seeded mixer
-    * "permutations" h_i(x) = mix64(x + i·φ64) — the standard k-hash-family
-    * construction, same estimator guarantees, ~k× fewer digests than
-    * hashing each shingle k times (the round-1 hot path: 64 MD5s per
-    * shingle). A linear (a·x+b) family without modular wraparound is NOT
-    * usable here: it is monotone in x, so every component would select the
-    * same min shingle. */
+  /** Empty-shingle-set sentinel component: P itself is outside the hash
+    * range [0, P−1], so only two empty docs can share it (est 1.0 — the
+    * convention jaccard(∅,∅)=1 also uses). */
+  val EmptySig: Long = DetHash.P
+
+  /** MinHash signature: ONE md5 per shingle, then k universal-hash
+    * "permutations" h_i(x) = (a_i·x + b_i) mod (2^61−1) — the classical
+    * Carter–Wegman family (same estimator guarantees as true permutations,
+    * ~k× fewer digests than hashing each shingle k times — the round-1 hot
+    * path was 64 MD5s per shingle). The modular wraparound is what makes a
+    * linear family non-monotone and hence usable; it is also exactly
+    * reproducible in DuckDB HUGEINT arithmetic, which is what lets the
+    * driver oracle q07/q25 (the round-2 mix64(x + i·φ) family was
+    * JVM-wrapping-dependent only in spirit — this one is plain math). */
   def minHashSignature(sh: Set[String], k: Int): Array[Long] = {
-    val sig = Array.fill(k)(Long.MaxValue)
+    val cs = coeffs(k)
+    val sig = Array.fill(k)(EmptySig)
     sh.foreach { s =>
-      val x = shingleHash64(s, 0)
+      val x = java.lang.Long.remainderUnsigned(shingleHash64(s, 0), DetHash.P)
       var i = 0
       while (i < k) {
-        val v = mix64(x + i * 0x9E3779B97F4A7C15L)
+        val v = {
+          val t = DetHash.mulModP(cs(i)._1, x) + cs(i)._2
+          if (t >= DetHash.P) t - DetHash.P else t
+        }
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -102,9 +107,15 @@ object Dedup {
     val banded = minHashSigs(spark, docs, shingleN, k).as[(Long, Seq[Long])]
       .flatMap { case (id, sig) =>
         (0 until bands).iterator.map { b =>
-          var h = 1125899906842597L // FNV-ish fold of the band's components
+          // polynomial fold of the band's components in GF(2^61−1): SQL-
+          // reproducible (h·31 < 2^66 needs mulModP on the JVM side only)
+          var h = 1125899906842597L
           var i = b * r
-          while (i < (b + 1) * r) { h = h * 31 + sig(i); i += 1 }
+          while (i < (b + 1) * r) {
+            val t = DetHash.mulModP(h, 31L) + sig(i)
+            h = if (t >= DetHash.P) t - DetHash.P else t
+            i += 1
+          }
           (b, h, id)
         }
       }.toDF("band", "bucket", "doc_id")
@@ -183,30 +194,58 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup PAIRS: band the 64-bit fingerprint into `bands`
-    * equal slices; docs sharing any band bucket are candidates, verified
-    * by exact hamming distance. Pigeonhole: a pair within hamming
-    * distance < bands differs in fewer bits than there are bands, so at
-    * least one band is identical — recall is EXACTLY 1.0 whenever
-    * `maxBits < bands` (the default), which is why the q26 contract row
-    * can be checked against an all-pairs DuckDB oracle. One groupBy on
-    * (band, 16-bit bucket); in-bucket pairs, skew-capped like MinHash. */
+  /** SimHash near-dup PAIRS with GUARANTEED recall at any corpus size:
+    * split the 64-bit fingerprint into `blocks` equal blocks and key each
+    * doc on every combination of (blocks − maxBits) blocks (Manku, Jain &
+    * Sarma, WWW'07 §3). A pair within hamming ≤ maxBits has ≤ maxBits
+    * dirty blocks, so at least one combination is entirely clean on both
+    * sides — recall is EXACTLY 1.0 (which is why the q26 contract row is
+    * checkable against an all-pairs DuckDB oracle), with key width
+    * 64·(blocks−maxBits)/blocks bits. blocks=4 (default) reproduces the
+    * round-2 4×16-bit banding; at 10^10-doc scale use blocks=8 —
+    * C(8,5)=56 keys of 40 bits: expected bucket occupancy n/2^40 ≈ 10
+    * keeps `maxBucket` trimming only true pathological keys instead of
+    * (as 16-bit buckets at that n would) silently skipping ALL of them.
+    * One groupBy on (combo, key); in-bucket pairs; exact hamming verify. */
   def simHashNearDup(
       spark: SparkSession,
       docs: DataFrame,
       maxBits: Int = 3,
-      bands: Int = 4,
+      blocks: Int = 4,
       maxBucket: Int = 100000): DataFrame = {
     import spark.implicits._
-    require(64 % bands == 0, s"bands ($bands) must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = docs.select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) => (id, simHash64(t)) }
-    val banded = sh.flatMap { case (id, h) =>
-      (0 until bands).iterator.map(b => (b, (h >>> (b * width)) & mask, id, h))
-    }.toDF("band", "bucket", "doc_id", "simhash")
-    banded.groupBy($"band", $"bucket")
+      .toDF("doc_id", "simhash")
+    simHashNearDupBits(spark, sh, maxBits, blocks, maxBucket)
+  }
+
+  /** Core pair search over a (doc_id, simhash) frame — split out so scale
+    * specs can plant synthetic fingerprints directly. */
+  def simHashNearDupBits(
+      spark: SparkSession,
+      hashes: DataFrame,
+      maxBits: Int = 3,
+      blocks: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
+    import spark.implicits._
+    require(64 % blocks == 0, s"blocks ($blocks) must divide 64")
+    require(maxBits < blocks,
+      s"maxBits ($maxBits) must be < blocks ($blocks) for the pigeonhole guarantee")
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val combos: Array[Array[Int]] =
+      (0 until blocks).combinations(blocks - maxBits).map(_.toArray).toArray
+    val keyed = hashes.select("doc_id", "simhash").as[(Long, Long)]
+      .flatMap { case (id, h) =>
+        combos.iterator.zipWithIndex.map { case (c, ci) =>
+          var key = 0L
+          var j = 0
+          while (j < c.length) { key = (key << width) | ((h >>> (c(j) * width)) & mask); j += 1 }
+          (ci, key, id, h)
+        }
+      }.toDF("combo", "key", "doc_id", "simhash")
+    keyed.groupBy($"combo", $"key")
       .agg(collect_list(struct($"doc_id", $"simhash")).as("members"))
       .filter(size($"members") > 1 && size($"members") <= maxBucket)
       .select($"members").as[Seq[(Long, Long)]]
@@ -329,15 +368,30 @@ object Dedup {
       spark: SparkSession,
       pairs: DataFrame, // (doc_a, doc_b) near-dup pairs
       nodes: DataFrame, // (doc_id) universe
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    dedupClustersImpl(spark, pairs, nodes, maxIter)._1
+
+  private def dedupClustersImpl(
+      spark: SparkSession,
+      pairs: DataFrame,
+      nodes: DataFrame,
+      maxIter: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
+    val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // localCheckpoint (not cache) each iteration: iterative self-joins grow
     // the logical plan linearly and the optimizer cost superlinearly —
     // truncating lineage per step is the standard iterative-algorithm
     // pattern (on a real cluster use reliable checkpointing for fault
-    // tolerance; localCheckpoint trades that for speed)
+    // tolerance; localCheckpoint trades that for speed).
+    // The edge list is hash-partitioned+sorted on dst ONCE (explicit
+    // numPartitions — AQE would coalesce a bare repartition; CLAUDE.md):
+    // LogicalRDD keeps partitioning/ordering metadata through the
+    // checkpoint, so every iteration's join reuses this exchange and only
+    // the (changing) labels side reshuffles.
     val sym = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .repartition(shuffleN, $"dst")
+      .sortWithinPartitions($"dst")
       .localCheckpoint(true)
     var labels = nodes.select($"doc_id".as("id"), $"doc_id".as("label"))
       .localCheckpoint(true)
@@ -346,21 +400,44 @@ object Dedup {
     while (changed > 0 && it < maxIter) {
       val nbr = sym.join(labels, sym("dst") === labels("id"))
         .groupBy($"src").agg(min($"label").as("nlabel"))
+      // ONE job per iteration: the change count rides the eager-checkpoint
+      // materialization as an accumulator instead of a second join+count
+      // (the round-2 shape). A retried task can only overcount — which at
+      // worst costs one extra (no-op) iteration, never a wrong result.
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$it")
       val next = labels.as("l").join(nbr, $"l.id" === nbr("src"), "left")
-        .select($"l.id".as("id"),
+        .select($"l.id".as("id"), $"l.label".as("old"),
           least($"l.label", coalesce($"nlabel", $"l.label")).as("label"))
+        .as[(Long, Long, Long)]
+        .map { case (id, old, lab) => if (lab != old) acc.add(1L); (id, lab) }
+        .toDF("id", "label")
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.select($"id", $"label".as("old")), Seq("id"))
-        .filter($"label" =!= $"old").count()
+      changed = acc.value
       labels.unpersist(false)
       labels = next
       it += 1
     }
     sym.unpersist(false)
     require(changed == 0, s"dedupClusters did not converge in $maxIter iterations")
-    labels.select($"id".as("doc_id"), $"label".as("cluster_id"),
+    // NOTE: the returned frame is backed by the final localCheckpoint —
+    // long-lived sessions should consume it via dedupClustersManaged (which
+    // releases the checkpoint), else one materialized RDD leaks per call.
+    (labels.select($"id".as("doc_id"), $"label".as("cluster_id"),
       ($"id" === $"label").as("keep"))
-      .orderBy($"doc_id")
+      .orderBy($"doc_id"),
+      labels)
+  }
+
+  /** dedupClusters with deterministic cleanup: runs `use` on the result and
+    * unpersists the final checkpoint afterwards (the result must be fully
+    * consumed inside `use` — it is not recomputable once released). */
+  def dedupClustersManaged[T](
+      spark: SparkSession,
+      pairs: DataFrame,
+      nodes: DataFrame,
+      maxIter: Int = 30)(use: DataFrame => T): T = {
+    val (out, ckpt) = dedupClustersImpl(spark, pairs, nodes, maxIter)
+    try use(out) finally ckpt.unpersist(false)
   }
 
   /** Embedding-cosine near-dup pairs over an LSH-style bucket (random
@@ -381,8 +458,9 @@ object Dedup {
     import spark.implicits._
     val dims = embeddings.select(size(col("embedding"))).as[Int].head()
     val planes = planesOpt.getOrElse(Similarity.adaptivePlanes(embeddings.count()))
-    val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
+    // deterministic ±1 hyperplanes (DetHash.signPlanes): engine-reproducible,
+    // so the q24 DuckDB oracle recomputes the identical buckets
+    val hyper = DetHash.signPlanes(planes, dims, seed)
     val bHyper = spark.sparkContext.broadcast(hyper)
     val cands = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
       .map { case (id, v) => (id, Similarity.hyperplaneSig(v, bHyper.value)) }

@@ -9,10 +9,21 @@ import org.apache.spark.sql.functions._
   * functions (`zip_with` + `aggregate`) — whole-stage-codegen'd, scans the
   * table once, TakeOrderedAndProject for the top-k (no full sort).
   *
-  * Scale path: IVF — k seeded hyperplane buckets (or centroid assignment)
-  * prune the scan to the probe's bucket(s); brute force only inside.
+  * Scale path: a PERSISTED index (build once, query many — the shape the
+  * reference's own one-time index build + cheap per-query lookups has,
+  * `/root/reference/source/BM25Ranker.cpp:26-30`):
+  *   - `buildIvfIndex` / `buildLshIndex` write an assignment table
+  *     `partitionBy(cell | part)`, so
+  *   - `ivfTopKIndexed` / `lshTopKIndexed` probes are PARTITION-PRUNED
+  *     parquet reads (`PartitionFilters` in the scan) — a top-k query
+  *     touches nProbe cells / hamming-ball buckets, never the corpus.
+  * All randomness (hyperplanes, centroid choice) is DetHash-deterministic,
+  * so the driver's DuckDB oracle recomputes identical buckets/cells.
   */
 object Similarity {
+
+  /** On-disk index layout version — bump on any change (cache paths embed it). */
+  val IndexVersion = 1
 
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -49,14 +60,13 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH-bucketed ANN: assign every vector to a hyperplane-sign bucket
-    * (seeded, deterministic), search only buckets within `probeHamming`
-    * bits of the query's bucket. Trades recall for a pruned scan — the
-    * 100 TB path where brute force is a full-corpus read. */
   /** planes sized so the expected bucket occupancy stays ~64: more data →
-    * more planes → finer buckets; the probe cost stays bounded. */
+    * more planes → finer buckets; the probe cost stays bounded. Capped at
+    * 48 (not the round-2 20): bits are free up to 63, and a 2^20 ceiling
+    * meant bucket width grew linearly past ~67M vectors. 48 planes keep
+    * ~64-wide buckets out to 2^54 vectors — beyond any real corpus. */
   def adaptivePlanes(n: Long): Int =
-    math.min(20, math.max(2, math.ceil(math.log(n / 64.0) / math.log(2)).toInt))
+    math.min(48, math.max(2, math.ceil(math.log(n / 64.0) / math.log(2)).toInt))
 
   /** Hyperplane-sign bucket of a vector (bit p = sign of v·hyper(p)). */
   def hyperplaneSig(v: Seq[Float], hyper: Array[Array[Double]]): Long = {
@@ -71,57 +81,84 @@ object Similarity {
     sig
   }
 
-  /** IVF-flat ANN: vectors are assigned to their max-cosine centroid cell
-    * (centroids = a deterministic seeded sample of the corpus, broadcast —
-    * the k-means-free variant; a trained codebook drops in by replacing
-    * `centroids`); a query scans only its `nProbe` closest cells. The
-    * 100 TB shape: the cell column is a partition key, so a probe is a
-    * partition-pruned scan; assignment is one broadcast map pass.
-    */
-  def ivfTopK(
+  /** All buckets within hamming distance ≤ h of `bucket` over `planes`
+    * bits — the multi-probe set (size Σ_{i≤h} C(planes, i)). */
+  def probeBuckets(bucket: Long, planes: Int, h: Int): Seq[Long] = {
+    def flips(start: Int, left: Int, cur: Long): Seq[Long] =
+      if (left == 0) Seq(cur)
+      else (start until planes).flatMap(p => flips(p + 1, left - 1, cur ^ (1L << p)))
+    (0 to h).flatMap(i => flips(0, i, bucket)).distinct
+  }
+
+  /** Partition-directory cap: the partition column is bucket >>> shift so
+    * at most 2^12 directories exist even at 48 planes; the full bucket
+    * stays a row column, pruned file-level by parquet min/max stats. */
+  private def partShift(planes: Int): Int = math.max(0, planes - 12)
+
+  private def metaPath(path: String) = s"$path/meta"
+
+  // ---------------------------------------------------------------- LSH --
+
+  /** One-time LSH index build: every vector is assigned its hyperplane-sign
+    * bucket (map-side only — no shuffle except the partitioned write), and
+    * the table is written partitioned by the bucket's high bits. Returns
+    * the plane count used. */
+  def buildLshIndex(
       spark: SparkSession,
       embeddings: DataFrame,
+      path: String,
+      planesOpt: Option[Int] = None,
+      seed: Long = 7L): Int = {
+    import spark.implicits._
+    val dims = embeddings.select(size(col("embedding"))).as[Int].head()
+    val planes = planesOpt.getOrElse(adaptivePlanes(embeddings.count()))
+    val shift = partShift(planes)
+    val hyper = DetHash.signPlanes(planes, dims, seed)
+    val bHyper = spark.sparkContext.broadcast(hyper)
+    embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val b = hyperplaneSig(v, bHyper.value)
+        (id, v, b, b >>> shift)
+      }
+      .toDF("vec_id", "embedding", "bucket", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(s"$path/assignments")
+    Seq((planes, dims, seed)).toDF("planes", "dims", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+    planes
+  }
+
+  /** Top-k over a persisted LSH index: reads ONLY the partitions covering
+    * the query's hamming-≤probeHamming bucket ball (a `PartitionFilters`-
+    * pruned scan), scores with the codegen'd cosine, TakeOrderedAndProject. */
+  def lshTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queryVec: Seq[Float],
       queryId: Long,
       k: Int,
-      nCells: Int = 16,
-      nProbe: Int = 4,
-      seed: Long = 7L): DataFrame = {
+      probeHamming: Int = 1): DataFrame = {
     import spark.implicits._
-    val n = embeddings.count()
-    val rnd = new scala.util.Random(seed)
-    val centroidIds = Seq.fill(nCells * 2)(math.abs(rnd.nextLong()) % n)
-      .distinct.take(nCells).sorted
-    val centroids = embeddings.filter($"vec_id".isin(centroidIds: _*))
-      .select("embedding").as[Seq[Float]].collect()
-    require(centroids.nonEmpty, "no centroids sampled")
-    val bC = spark.sparkContext.broadcast(centroids)
-    val cellOf = (v: Seq[Float]) => {
-      val cs = bC.value
-      var best = 0; var bestCos = Double.MinValue; var i = 0
-      while (i < cs.length) {
-        val c = cosine(v, cs(i))
-        if (c > bestCos) { bestCos = c; best = i }
-        i += 1
-      }
-      best
-    }
-    val assigned = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, cellOf(v)) }
-      .toDF("vec_id", "embedding", "cell")
-    val qVec = embeddings.filter($"vec_id" === queryId)
-      .select("embedding").as[Seq[Float]].head()
-    val probeCells = centroids.indices
-      .sortBy(i => -cosine(qVec, centroids(i))).take(nProbe).toSet
-    val bQ = spark.sparkContext.broadcast(qVec)
-    assigned
-      .filter($"vec_id" =!= queryId && $"cell".isin(probeCells.toSeq: _*))
-      .as[(Long, Seq[Float], Int)]
-      .map { case (id, v, _) => (id, cosine(v, bQ.value)) }
-      .toDF("vec_id", "cosine")
-      .orderBy($"cosine".desc, $"vec_id".asc)
+    val (planes, dims, seed) =
+      spark.read.parquet(metaPath(indexPath)).as[(Int, Int, Long)].head()
+    require(queryVec.length == dims, s"query dims ${queryVec.length} != index dims $dims")
+    val hyper = DetHash.signPlanes(planes, dims, seed)
+    val qBucket = hyperplaneSig(queryVec, hyper)
+    val probes = probeBuckets(qBucket, planes, probeHamming)
+    val shift = partShift(planes)
+    val parts = probes.map(_ >>> shift).distinct
+    val qd = typedLit(queryVec.map(_.toDouble))
+    spark.read.parquet(s"$indexPath/assignments")
+      .filter(col("part").isin(parts: _*) && col("bucket").isin(probes: _*)
+        && col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosineCol(col("embedding"), qd).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
 
+  /** One-shot LSH top-k (no persisted index): the assignment map pass runs
+    * inline — use ONLY for ad-hoc queries over transient frames; repeated
+    * queries must go through buildLshIndex + lshTopKIndexed, otherwise
+    * every query re-scans the corpus. */
   def lshTopK(
       spark: SparkSession,
       embeddings: DataFrame,
@@ -133,22 +170,91 @@ object Similarity {
     import spark.implicits._
     val dims = embeddings.select(size(col("embedding"))).as[Int].head()
     val planes = planesOpt.getOrElse(adaptivePlanes(embeddings.count()))
-    val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
+    val hyper = DetHash.signPlanes(planes, dims, seed)
     val bHyper = spark.sparkContext.broadcast(hyper)
     val withBucket = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
       .map { case (id, v) => (id, v, hyperplaneSig(v, bHyper.value)) }
       .toDF("vec_id", "embedding", "bucket")
-    val (qVec, qBucket) = withBucket.filter($"vec_id" === queryId)
-      .as[(Long, Seq[Float], Long)].head() match { case (_, v, bkt) => (v, bkt) }
-    val bQ = spark.sparkContext.broadcast(qVec)
+    val qVec = embeddings.filter($"vec_id" === queryId)
+      .select("embedding").as[Seq[Float]].head()
+    val qBucket = hyperplaneSig(qVec, hyper)
+    val probes = probeBuckets(qBucket, planes, probeHamming)
+    val qd = typedLit(qVec.map(_.toDouble))
     withBucket
-      .filter($"vec_id" =!= queryId)
-      .filter(bit_count($"bucket".bitwiseXOR(lit(qBucket))) <= probeHamming)
-      .as[(Long, Seq[Float], Long)]
-      .map { case (id, v, _) => (id, cosine(v, bQ.value)) }
-      .toDF("vec_id", "cosine")
+      .filter($"vec_id" =!= queryId && $"bucket".isin(probes: _*))
+      .select($"vec_id", cosineCol($"embedding", qd).as("cosine"))
       .orderBy($"cosine".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------- IVF --
+
+  /** One-time IVF-flat index build. Centroids are the lowest-`nCells`
+    * vec_ids (deterministic, engine-reproducible; a trained k-means
+    * codebook drops in by pre-writing `path/centroids` and calling
+    * `buildIvfAssignments`); every vector goes to its max-cosine centroid
+    * (ties → lowest cell), a broadcast map pass; the assignment table is
+    * written `partitionBy("cell")`. */
+  def buildIvfIndex(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      path: String,
+      nCells: Int = 16): Unit = {
+    import spark.implicits._
+    val centroids = embeddings.select("vec_id", "embedding")
+      .orderBy("vec_id").limit(nCells)
+      .as[(Long, Seq[Float])].collect()
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), cell) => (cell, v) }
+    require(centroids.nonEmpty, "no centroids sampled")
+    spark.createDataset(centroids.toIndexedSeq).toDF("cell", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    buildIvfAssignments(spark, embeddings, path)
+  }
+
+  /** Assignment pass against an existing `path/centroids` codebook. */
+  def buildIvfAssignments(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2)
+    val bC = spark.sparkContext.broadcast(centroids)
+    embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val cs = bC.value
+        var best = 0; var bestCos = Double.MinValue; var i = 0
+        while (i < cs.length) {
+          val c = cosine(v, cs(i))
+          if (c > bestCos) { bestCos = c; best = i } // first wins: lowest cell on ties
+          i += 1
+        }
+        (id, v, best)
+      }
+      .toDF("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
+  /** Top-k over a persisted IVF index: the query ranks the (tiny, driver-
+    * side) codebook, then reads ONLY its nProbe closest cells — a
+    * partition-pruned scan — and scores them with the codegen'd cosine. */
+  def ivfTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queryVec: Seq[Float],
+      queryId: Long,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    val probeCells = centroids
+      .map { case (cell, v) => (cell, cosine(queryVec, v)) }
+      .sortBy { case (cell, c) => (-c, cell) }
+      .take(nProbe).map(_._1).toSeq
+    val qd = typedLit(queryVec.map(_.toDouble))
+    spark.read.parquet(s"$indexPath/assignments")
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), cosineCol(col("embedding"), qd).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
 }

@@ -58,7 +58,7 @@ class OpsSpec extends AnyFunSuite {
   test("simhash near-dup pairs: banded search equals brute force (pigeonhole recall)") {
     import spark.implicits._
     val docs = docsWithDups
-    val got = Dedup.simHashNearDup(spark, docs, maxBits = 3, bands = 4)
+    val got = Dedup.simHashNearDup(spark, docs, maxBits = 3, blocks = 4)
       .as[(Long, Long, Int)].collect().toSet
     val hashes = docs.as[(Long, String)].collect().map { case (id, t) => (id, Dedup.simHash64(t)) }
     val want = (for {
@@ -72,9 +72,9 @@ class OpsSpec extends AnyFunSuite {
   test("dedup clusters: connected components equal a driver union-find") {
     import spark.implicits._
     val docs = docsWithDups
-    val pairs = Dedup.simHashNearDup(spark, docs, maxBits = 3, bands = 4)
-    val got = Dedup.dedupClusters(spark, pairs, docs)
-      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    val pairs = Dedup.simHashNearDup(spark, docs, maxBits = 3, blocks = 4)
+    val got = Dedup.dedupClustersManaged(spark, pairs, docs)(
+      _.as[(Long, Long, Boolean)].collect()).map(r => r._1 -> r._2).toMap
     // driver union-find ground truth
     val ids = docs.select("doc_id").as[Long].collect()
     val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
@@ -131,17 +131,77 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall")
   }
 
-  test("IVF ANN: good recall on clustered vectors; scores exact within probed cells") {
+  test("IVF ANN (persisted index): good recall; scores exact within probed cells; partition-pruned scan") {
     import spark.implicits._
     val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.buildIvfIndex(spark, emb, idx, nCells = 16)
+    val q = clusteredVecs.find(_._1 == 0L).get._2
+    val probe = Similarity.ivfTopKIndexed(spark, idx, q, 0L, 10, nProbe = 6)
+    // the probe must be a partition-pruned read of the persisted table —
+    // the index-once/query-many contract (VERDICT r2 item 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"expected partition filters on cell in:\n$plan")
+    val ivf = probe.as[(Long, Double)].collect()
     val brute = Similarity.bruteForceTopK(emb, 0L, 10).as[(Long, Double)].collect()
-    val ivf = Similarity.ivfTopK(spark, emb, 0L, 10).as[(Long, Double)].collect()
     val recall = (brute.map(_._1).toSet intersect ivf.map(_._1).toSet).size.toDouble / brute.length
     assert(recall >= 0.7, s"recall $recall")
     val exact = brute.toMap
     ivf.foreach { case (id, c) =>
       exact.get(id).foreach(e => assert(math.abs(c - e) < 1e-12))
     }
+  }
+
+  test("LSH ANN (persisted index): recall vs one-shot identity, partition-pruned scan") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    Similarity.buildLshIndex(spark, emb, idx)
+    val q = clusteredVecs.find(_._1 == 0L).get._2
+    val probe = Similarity.lshTopKIndexed(spark, idx, q, 0L, 10, probeHamming = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"expected partition filters in:\n$plan")
+    // indexed path ≡ one-shot path (same planes, same probes, same scores)
+    val indexed = probe.as[(Long, Double)].collect().toSeq
+    val oneShot = Similarity.lshTopK(spark, emb, 0L, 10, probeHamming = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed == oneShot)
+  }
+
+  test("simhash banding survives bucket-overflow scale (Manku block-combination keys)") {
+    import spark.implicits._
+    // adversarial corpus: every 16-bit band value is shared by > maxBucket
+    // docs (the round-2 scheme would skip EVERY bucket → recall 0), but
+    // the planted near-dup pairs still collide on a wide combination key.
+    // 64-bit hashes: id-th hash spreads ids across high bits while the
+    // low 16 bits cycle through only 8 values → 16-bit buckets overflow.
+    val n = 4000
+    val hashes = (0 until n).map { i =>
+      val base = DetHash.mix64(i.toLong) & ~0xFFFFL
+      (i.toLong, base | (i % 8).toLong)
+    }
+    // plant 20 near-dup pairs at hamming EXACTLY 3, one flipped bit in each
+    // of the three high 16-bit bands — so under blocks=4 the only clean
+    // band is the overflowing low one, and the pair is only findable there
+    val planted = (0 until 20).map { i =>
+      ((n + i).toLong, hashes(i)._2 ^ (1L << 20) ^ (1L << 36) ^ (1L << 52))
+    }
+    val df = spark.createDataset((hashes ++ planted).toIndexedSeq).toDF("doc_id", "simhash")
+    val maxBucket = 100
+    // old shape: blocks=4 → 16-bit keys; every key overflows maxBucket=100
+    val old = Dedup.simHashNearDupBits(spark, df, maxBits = 3, blocks = 4, maxBucket = maxBucket)
+      .as[(Long, Long, Int)].collect()
+    // Manku keys: blocks=8 → C(8,5)=56 combos of 40-bit keys; recall 1.0
+    val got = Dedup.simHashNearDupBits(spark, df, maxBits = 3, blocks = 8, maxBucket = maxBucket)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val plantedPairs = (0 until 20).map(i => (i.toLong, (n + i).toLong)).toSet
+    assert((plantedPairs -- got).isEmpty,
+      s"wide-key recall lost pairs: ${(plantedPairs -- got).take(5)}")
+    val oldSet = old.map(r => (r._1, r._2)).toSet
+    assert((plantedPairs intersect oldSet).isEmpty,
+      "narrow 16-bit buckets were expected to collapse (skip) under maxBucket here")
   }
 
   test("media features: deterministic, exercises all kinds") {
