@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.api.SparkSearchEngine
 import graft.build.IndexBuilder
 import graft.corpus.TranscriptGen
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, DetHash, Multimodal, Similarity, TextOps}
 import graft.store.ParquetTableIO
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -216,7 +216,163 @@ object SparkEntry {
     "q22_bm25_mixed" -> ((s, dir) => scoreE9(
       transcriptEngine(s, dir).searchFrame("\"blue whale\" whale engine"))))
 
+  // ---- oracle-literal generators: the SAME DetHash functions the engine
+  // uses emit SQL literal tables, so the DuckDB oracle recomputes identical
+  // minhash permutations / LSH hyperplanes (the round-2 no_oracle gap) ----
+  private val PStr = DetHash.P.toString // 2305843009213693951 = 2^61-1
+
+  /** (VALUES (i, a_i, b_i), ...) — the k universal-hash coefficients. */
+  private def permValuesSql(k: Int): String =
+    DetHash.permCoeffs(k).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::HUGEINT, ${b}::HUGEINT)" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** (VALUES (p, [±1.0,...]::DOUBLE[]), ...) — the sign hyperplanes. */
+  private def planeValuesSql(planes: Int, dims: Int, seed: Long): String =
+    DetHash.signPlanes(planes, dims, seed).zipWithIndex
+      .map { case (arr, p) => s"($p, [${arr.mkString(",")}]::DOUBLE[])" }
+      .mkString("(VALUES ", ", ", ")")
+
+  /** Byte-swap of md5_number_upper (little-endian) to the engine's
+    * big-endian unsigned 64-bit shingle hash, as a SQL expression over
+    * column `le` (same construction as the q08 simhash oracle). */
+  private val beSwapSql =
+    """(   ((le // 1::HUGEINT) % 256) * 72057594037927936::HUGEINT
+      |      + ((le // 256::HUGEINT) % 256) * 281474976710656::HUGEINT
+      |      + ((le // 65536::HUGEINT) % 256) * 1099511627776::HUGEINT
+      |      + ((le // 16777216::HUGEINT) % 256) * 4294967296::HUGEINT
+      |      + ((le // 4294967296::HUGEINT) % 256) * 16777216::HUGEINT
+      |      + ((le // 1099511627776::HUGEINT) % 256) * 65536::HUGEINT
+      |      + ((le // 281474976710656::HUGEINT) % 256) * 256::HUGEINT
+      |      + ((le // 72057594037927936::HUGEINT) % 256) )""".stripMargin
+
+  /** Shared minhash CTE prefix: distinct word-3-gram shingles → x = be mod P
+    * → 64 permuted components (sentinel P for shingle-less docs) → 16 band
+    * hashes (degree-4 polynomial fold in GF(2^61−1)) → candidate pairs.
+    * documents.text is pure [a-z0-9 ] (OpsSpec-asserted), so the engine
+    * tokenizer reduces to regexp '[a-z0-9]+' exactly like q09. */
+  private def minhashCandidateCtes: String =
+    s"""perm(i, a, b) AS (SELECT * FROM ${permValuesSql(64)}),
+       |toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+       |         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |         ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+       |                j -> concat_ws(' ', tk[j], tk[j+1], tk[j+2])))
+       |    END) AS s
+       |  FROM toks),
+       |hx AS (
+       |  SELECT doc_id, $beSwapSql % ${PStr}::HUGEINT AS x
+       |  FROM (SELECT doc_id, md5_number_upper('0:' || s)::HUGEINT AS le FROM sh)),
+       |sigp AS (
+       |  SELECT doc_id, i, min((a * x + b) % ${PStr}::HUGEINT) AS sg
+       |  FROM hx CROSS JOIN perm GROUP BY doc_id, i),
+       |sigf AS (
+       |  SELECT d.doc_id, p.i, coalesce(sp.sg, ${PStr}::HUGEINT) AS sg
+       |  FROM documents d CROSS JOIN perm p
+       |  LEFT JOIN sigp sp ON sp.doc_id = d.doc_id AND sp.i = p.i),
+       |bh AS (
+       |  SELECT doc_id, band,
+       |    ((((((1125899906842597::HUGEINT * 31 + l[1]) % ${PStr}::HUGEINT) * 31 + l[2])
+       |       % ${PStr}::HUGEINT) * 31 + l[3]) % ${PStr}::HUGEINT * 31 + l[4]) % ${PStr}::HUGEINT AS h
+       |  FROM (SELECT doc_id, i // 4 AS band, list(sg ORDER BY i) AS l
+       |        FROM sigf GROUP BY doc_id, i // 4)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bh x JOIN bh y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Shared LSH bucket CTE over embeddings: the engine's 3 adaptive sign
+    * planes at the sf0.01 corpus size (adaptivePlanes(500) = 3, seed 7). */
+  private def lshBucketCtes: String =
+    s"""pl(p, pv) AS (SELECT * FROM ${planeValuesSql(3, 64, 7L)}),
+       |bkt AS (
+       |  SELECT vec_id, sum(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
+       |                          THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM embeddings CROSS JOIN pl GROUP BY vec_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // minhash LSH near-dup: identical signatures/bands recomputed from the
+    // DetHash literal tables; est = matching components / 64
+    "q07_minhash_neardup" ->
+      s"""WITH $minhashCandidateCtes,
+         |sv AS (SELECT doc_id, list(sg ORDER BY i) AS sl FROM sigf GROUP BY doc_id)
+         |SELECT doc_a, doc_b, est_jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    len(list_filter(list_zip(a.sl, b.sl), z -> z[1] = z[2]))::DOUBLE / 64.0 AS est_jaccard
+         |  FROM cand JOIN sv a ON a.doc_id = doc_a JOIN sv b ON b.doc_id = doc_b)
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // LSH candidates + EXACT n-gram jaccard verify (the q09 arithmetic)
+    "q25_ngram_jaccard_lsh" ->
+      s"""WITH $minhashCandidateCtes,
+         |shs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |         ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+         |                j -> concat_ws(' ', tk[j], tk[j+1], tk[j+2])))
+         |    END AS sh
+         |  FROM toks)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CASE WHEN len(a.sh) = 0 AND len(b.sh) = 0 THEN 1.0
+         |         ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |              / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS jaccard
+         |  FROM cand JOIN shs a ON a.doc_id = doc_a JOIN shs b ON b.doc_id = doc_b)
+         |WHERE jaccard >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    // single-band sign-LSH buckets + exact cosine verify
+    "q24_embedding_neardup_lsh" ->
+      s"""WITH $lshBucketCtes
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+         |    (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cosine
+         |  FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = y.vec_id)
+         |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    // persisted-LSH-index probe: hamming-≤1 bucket ball of the query
+    "q16_ann_lsh_topk" ->
+      s"""WITH $lshBucketCtes,
+         |qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0),
+         |qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  list_dot_product(e.embedding::DOUBLE[], qemb::DOUBLE[]) /
+         |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |   sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[]))) AS cosine
+         |FROM embeddings e JOIN bkt ON bkt.vec_id = e.vec_id, qb, qe
+         |WHERE e.vec_id <> 0 AND bit_count(xor(bkt.bucket, qbucket)) <= 1
+         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin,
+    // persisted-IVF-index probe: codebook = 16 lowest vec_ids; assignment =
+    // max-cosine cell (ties → lowest cell); probe = 4 closest cells
+    "q27_ann_ivf_topk" ->
+      s"""WITH c AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cemb
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |asg AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) /
+         |        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |         sqrt(list_dot_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[]))) DESC,
+         |        c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT cell FROM c, qe ORDER BY
+         |    list_dot_product(qemb::DOUBLE[], cemb::DOUBLE[]) /
+         |    (sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[])) *
+         |     sqrt(list_dot_product(cemb::DOUBLE[], cemb::DOUBLE[]))) DESC, cell ASC
+         |  LIMIT 4)
+         |SELECT e.vec_id,
+         |  list_dot_product(e.embedding::DOUBLE[], qemb::DOUBLE[]) /
+         |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |   sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[]))) AS cosine
+         |FROM asg e, qe
+         |WHERE e.vec_id <> 0 AND e.cell IN (SELECT cell FROM probe)
+         |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin,
     // DuckDB sum(BIGINT) returns HUGEINT (float64 in the harness frame, a
     // hash mismatch vs Spark's int64) — every sum is CAST back to BIGINT
     "q01_pricing_summary" ->
