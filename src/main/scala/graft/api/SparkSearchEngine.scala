@@ -34,6 +34,9 @@ final class SparkSearchEngine(
     val params: GraftParams = GraftParams()) {
   import spark.implicits._
 
+  // refuse a warehouse whose block layout this engine cannot decode
+  graft.build.FormatGuard.check(spark, io, "SparkSearchEngine")
+
   lazy val stats: IndexStats = {
     val r = io.read(Tables.Stats).as[(Long, Double)].head()
     IndexStats(r._1, r._2)

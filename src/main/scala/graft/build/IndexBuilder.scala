@@ -15,6 +15,7 @@ object Tables {
     * prefixed positions section, and BUILT blocks are positions-free
     * (phrases read the postings table, which keeps full positions). */
   val FormatVersion = 5
+  val Format = "format"
   val PostingsRaw = "postings_raw"
   val DocDict = "doc_dict"
   val Stats = "stats"
@@ -25,6 +26,33 @@ object Tables {
 }
 
 final case class StageMetric(stage: String, rows: Long, wallMs: Long, skipped: Boolean)
+
+/** Persisted layout marker (round-2 ADVICE): `Tables.FormatVersion` used to
+  * gate only /tmp cache PATHS, so `Main search`/`buildIncremental` against a
+  * pre-existing user warehouse built at an older block layout would silently
+  * misdecode every block (v3 stored interleaved positions where v5 reads
+  * tf/docLen pairs) instead of failing. The marker table is written before
+  * the first build stage; every resume / incremental / query entry point
+  * refuses a mismatched or unversioned non-empty warehouse. */
+object FormatGuard {
+  def write(spark: SparkSession, io: TableIO): Unit =
+    io.replace(spark.createDataFrame(Seq(Tuple1(Tables.FormatVersion)))
+      .toDF("format_version"), Tables.Format)
+
+  def check(spark: SparkSession, io: TableIO, context: String): Unit = {
+    import spark.implicits._
+    if (io.exists(Tables.Format)) {
+      val v = io.read(Tables.Format).select("format_version").as[Int].head()
+      if (v != Tables.FormatVersion) throw new IllegalStateException(
+        s"$context: warehouse format v$v != engine v${Tables.FormatVersion} — " +
+          "refusing to read/resume (blocks would misdecode); rebuild with resume=false")
+    } else if (io.exists(Tables.DocDict)) {
+      throw new IllegalStateException(
+        s"$context: unversioned warehouse (pre-v${Tables.FormatVersion} layout, " +
+          s"no '${Tables.Format}' table) — refusing to read/resume; rebuild required")
+    }
+  }
+}
 
 /** Distributed inverted-index build.
   *
@@ -106,6 +134,8 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
   def build(turns: Dataset[Turn], resume: Boolean = false,
       assumeSorted: Boolean = false): Seq[StageMetric] = {
     val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetric]
+    if (resume) FormatGuard.check(spark, io, "IndexBuilder.build(resume)")
+    if (!resume || !io.exists(Tables.Format)) FormatGuard.write(spark, io)
     if (!resume) io.drop(Tables.Lineage)
 
     runStage(Tables.PostingsRaw, resume, metrics) {
@@ -230,6 +260,7 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     * df from postings/blocks directly, so it is not maintained here.
     */
   def buildIncremental(newTurns: Dataset[Turn], batchId: Long): Seq[StageMetric] = {
+    FormatGuard.check(spark, io, "IndexBuilder.buildIncremental")
     val ledgerStage = "incremental_batch"
     val tag = s"batch$batchId"
     def ledgerRow(rows: Long, wallMs: Long) =

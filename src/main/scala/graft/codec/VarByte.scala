@@ -69,7 +69,7 @@ object VarByte {
 
   /** Encode postings (must be sorted by docId asc; positions asc).
     *
-    * Layout v2 (Tables.FormatVersion 4) splits the payload into a SCORES
+    * Layout v2 (Tables.FormatVersion 5) splits the payload into a SCORES
     * section (docIds, then tf/docLen pairs) and an OPTIONAL length-prefixed
     * positions section, so the term-scoring path (WAND) decodes only the
     * scores, and a positions-free scoring index (what IndexBuilder writes —
@@ -83,6 +83,18 @@ object VarByte {
     *            [ n × ( tf × varint(position delta) ) ]
     */
   def encodeBlock(postings: Seq[Posting]): Array[Byte] = {
+    // decodeBlock infers hasPositions from posLen > 0 and then reads exactly
+    // tf varints per posting — mixed or tf-mismatched input would encode
+    // fine and silently misdecode, so the invariant is enforced here
+    // (ADVICE r2): per posting |positions| ∈ {0, tf}, uniform across the
+    // block (all-empty or all-populated).
+    postings.foreach { p =>
+      require(p.positions.isEmpty || p.positions.length == p.tf,
+        s"posting docId=${p.docId}: positions.length=${p.positions.length} != tf=${p.tf}")
+    }
+    require(postings.forall(_.positions.isEmpty) ||
+      postings.forall(p => p.tf == 0 || p.positions.nonEmpty),
+      "mixed block: some postings carry positions, others (tf>0) do not")
     val out = new ByteArrayOutputStream(postings.size * 8)
     writeVarLong(out, postings.size.toLong)
     var prev = 0L

@@ -36,7 +36,10 @@ final class SearchEngineServer(
     spark: SparkSession,
     warehouse: String,
     inputPath: Option[String],
-    port: Int = 8080) {
+    port: Int = 8080,
+    // loopback by default (ADVICE r2): /clearCrawlHistory drops the index
+    // and /crawl reads local paths — exposing them needs an explicit --host
+    host: String = "127.0.0.1") {
   import spark.implicits._
 
   @volatile private var params = GraftParams()
@@ -159,7 +162,7 @@ final class SearchEngineServer(
   private var server: HttpServer = _
 
   def start(): Int = {
-    server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server = HttpServer.create(new java.net.InetSocketAddress(host, port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
     server.createContext("/", handler("GET") { ex =>
@@ -276,7 +279,7 @@ final class SearchEngineServer(
 }
 
 /** `spark-submit --class graft.server.ServerMain <jar> --warehouse W
-  * [--input turns.parquet] [--port 8080]` */
+  * [--input turns.parquet] [--port 8080] [--host 127.0.0.1]` */
 object ServerMain {
   private def arg(args: Array[String], name: String): Option[String] = {
     val i = args.indexOf(s"--$name")
@@ -294,7 +297,8 @@ object ServerMain {
     val srv = new SearchEngineServer(spark,
       arg(args, "warehouse").getOrElse(sys.error("--warehouse required")),
       arg(args, "input"),
-      arg(args, "port").map(_.toInt).getOrElse(8080))
+      arg(args, "port").map(_.toInt).getOrElse(8080),
+      arg(args, "host").getOrElse("127.0.0.1"))
     val port = srv.start()
     println(s"graft server listening on :$port")
     Thread.currentThread().join()

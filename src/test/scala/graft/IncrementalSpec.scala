@@ -100,6 +100,35 @@ class IncrementalSpec extends AnyFunSuite {
     assert(m2 > 0)
   }
 
+  test("format guard: mismatched or unversioned warehouse is refused by resume/incremental/engine") {
+    import spark.implicits._
+    val io = new ParquetTableIO(spark,
+      java.nio.file.Files.createTempDirectory("fmt_wh_").toString)
+    val b = new IndexBuilder(spark, io, blockSize = 8)
+    b.build(spark.createDataset(allTurns))
+    // marker written by build; engine opens fine
+    assert(io.read(Tables.Format).as[Int].head() == Tables.FormatVersion)
+    new SparkSearchEngine(spark, io).stats
+
+    // tamper: pretend the warehouse was built at layout v3
+    io.replace(spark.createDataset(Seq(3)).toDF("format_version"), Tables.Format)
+    intercept[IllegalStateException] { new SparkSearchEngine(spark, io).stats }
+    intercept[IllegalStateException] {
+      b.build(spark.createDataset(allTurns), resume = true)
+    }
+    intercept[IllegalStateException] {
+      b.buildIncremental(spark.createDataset(allTurns.take(2)), batchId = 99L)
+    }
+
+    // unversioned (pre-marker) warehouse with index tables: also refused
+    io.drop(Tables.Format)
+    intercept[IllegalStateException] { new SparkSearchEngine(spark, io).stats }
+
+    // a full rebuild (resume = false) re-stamps the marker and recovers
+    b.build(spark.createDataset(allTurns))
+    new SparkSearchEngine(spark, io).stats
+  }
+
   test("structured streaming ingest via foreachBatch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -53,6 +53,21 @@ class VarByteSpec extends AnyFunSuite {
     assert(VarByte.decodeBlockScores(VarByte.encodeBlock(Nil)).isEmpty)
   }
 
+  test("encodeBlock rejects tf/positions mismatches and mixed blocks") {
+    val ok = Seq(
+      VarByte.Posting(1L, 2, 10, Array(3, 7)),
+      VarByte.Posting(5L, 1, 4, Array(2)))
+    VarByte.decodeBlock(VarByte.encodeBlock(ok)) // sanity: valid block passes
+    intercept[IllegalArgumentException] { // |positions| != tf
+      VarByte.encodeBlock(Seq(VarByte.Posting(1L, 3, 10, Array(3, 7))))
+    }
+    intercept[IllegalArgumentException] { // mixed: one with, one without
+      VarByte.encodeBlock(Seq(
+        VarByte.Posting(1L, 2, 10, Array(3, 7)),
+        VarByte.Posting(5L, 1, 4, Array.empty[Int])))
+    }
+  }
+
   test("scores-only decode matches full decode, no positions materialized") {
     val rnd = new Random(7)
     for (_ <- 0 until 100) {
