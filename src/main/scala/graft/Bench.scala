@@ -92,14 +92,19 @@ object Bench {
     // is the least-interference sample (reps interleaved across levels so a
     // noisy phase doesn't bias one level)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val skipScaling = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("queries")
     val lo = 2
     val hi = 8
     val levels = if (cpus > hi) Seq(lo, hi, cpus) else Seq(lo, hi)
     val times = scala.collection.mutable.Map.empty[Int, Double]
-    for (r <- 1 to reps; cores <- levels) {
+    if (!skipScaling) for (r <- 1 to reps; cores <- levels) {
       val s = buildAt(cores, recordStages = cores == hi && r == 1)
+      // per-rep values go into the artifact too (VERDICT r2 item 6): the
+      // co-tenant noise spread must be readable from the JSON, not prose
+      results(s"index_build_local${cores}_rep${r}_sec") = s
       times(cores) = math.min(times.getOrElse(cores, Double.MaxValue), s)
     }
+    if (skipScaling) { times(lo) = 1; times(hi) = 1; turnsCount = 1 }
     val sLo = times(lo)
     val sHi = times(hi)
     val sMax = times.getOrElse(cpus, sHi)
@@ -118,9 +123,9 @@ object Bench {
 
     // ---- part 2: operator suite on the driver tables -------------------
     val spark = session(cpus)
-    // warm the transcript-index engine so q19-q22 measure query latency,
-    // not a one-off corpus build (build throughput is part 1's metric)
-    try SparkEntry.transcriptEngine(spark, sfDir).stats
+    // warm the one-time artifacts (transcript index, persisted ANN indexes)
+    // so q16/q19-q22/q27 measure query latency, not a one-off build
+    try SparkEntry.warm(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] warm failed: ${e.getMessage}") }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()

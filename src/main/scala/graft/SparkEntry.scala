@@ -64,6 +64,15 @@ object SparkEntry {
     p
   }
 
+  /** Warm the per-sfDir one-time artifacts (transcript index, ANN indexes)
+    * so Bench measures query latency, not one-off builds. */
+  def warm(s: SparkSession, dir: String): Unit = {
+    transcriptEngine(s, dir).stats
+    lshIndex(s, dir)
+    ivfIndex(s, dir)
+    ()
+  }
+
   private def ivfIndex(s: SparkSession, dir: String): String = {
     val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/ivf16_${dirKey(dir)}"
     if (!new java.io.File(s"$p/assignments/_SUCCESS").exists())
@@ -202,6 +211,12 @@ object SparkEntry {
           s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 300)))
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
+    // REAL audio codec check: PCM16 WAV is lossless, so the decoded sample
+    // means must equal means recomputed from the synthesis formula
+    "q29_audio_decode" -> ((s, dir) =>
+      Multimodal.audioFeatures(s,
+        Multimodal.synthesizeAudio(
+          s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 300)))),
 
     // ---- the search engine itself ------------------------------------
     // bit-identity across the four internal paths is the sbt golden suite;
@@ -423,17 +438,18 @@ object SparkEntry {
         |  CASE WHEN length(text) > 0 THEN len(regexp_extract_all(text, '[A-Z]'))::DOUBLE / length(text)::DOUBLE ELSE 0.0 END AS upper_ratio,
         |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0 THEN length(text)::DOUBLE / len(regexp_extract_all(text, '[A-Za-z0-9]+'))::DOUBLE ELSE 0.0 END AS chars_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // token-membership stop-word semantics (one tokenize pass both engines)
     "q13_lang_id" ->
-      """SELECT doc_id,
-        |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
-        |       THEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|it|that|for|was|with|are|this|you)\b'))::DOUBLE
-        |            / len(regexp_extract_all(text, '[A-Za-z0-9]+'))::DOUBLE
-        |       ELSE 0.0 END AS stopword_ratio,
-        |  CASE WHEN (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
-        |       THEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|it|that|for|was|with|are|this|you)\b'))::DOUBLE
-        |            / len(regexp_extract_all(text, '[A-Za-z0-9]+'))::DOUBLE
-        |       ELSE 0.0 END) >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) > 0
+        |         THEN len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','it','that','for','was','with','are','this','you')))::DOUBLE
+        |              / len(toks)::DOUBLE
+        |         ELSE 0.0 END AS stopword_ratio
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents))
+        |SELECT doc_id, stopword_ratio,
+        |  CASE WHEN stopword_ratio >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q14_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fingerprint
@@ -619,6 +635,22 @@ object SparkEntry {
         |  md5(a.js) AS features_md5
         |FROM arr a JOIN documents d USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+    // the REAL javax.sound.sampled path: synthesized PCM16 samples are
+    // integer functions of (text || doc_id) and WAV is lossless, so the
+    // decoded means (exact /256 rationals) are recomputed from text
+    "q29_audio_decode" ->
+      """WITH smp AS (
+        |  SELECT doc_id, i,
+        |    (ascii(substr(s, CAST((i % L) + 1 AS INTEGER), 1)) - 128) * 256
+        |      + ((doc_id + i) % 256) AS v
+        |  FROM (SELECT doc_id, text || CAST(doc_id AS VARCHAR) AS s,
+        |          length(text || CAST(doc_id AS VARCHAR)) AS L
+        |        FROM documents WHERE doc_id < 300),
+        |       (SELECT unnest(range(0, 256)) AS i))
+        |SELECT doc_id AS media_id, 8000 AS sample_rate, count(*)::BIGINT AS n_samples,
+        |  sum(v)::DOUBLE / count(*)::DOUBLE AS mean_sample,
+        |  sum(abs(v))::DOUBLE / count(*)::DOUBLE AS mean_abs
+        |FROM smp GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "q18_media_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
         |  substring(text, CAST(f*64+1 AS INTEGER), 4) AS frame_str

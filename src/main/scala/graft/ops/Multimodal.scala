@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` + typed metadata.
   *
   * The Spark-side machinery is real — schema, partition-friendly batch
-  * iteration, deterministic outputs; only the actual media decode is a
-  * clearly-marked STUB (this container ships no image/audio codecs). On a
-  * real cluster `decodeStub` is replaced by the codec call with the same
-  * signature; nothing else changes.
+  * iteration, deterministic outputs. Decode status: IMAGE is a real codec
+  * round-trip (JDK ImageIO PNG, `imageFeatures`), AUDIO is a real codec
+  * round-trip (JDK javax.sound.sampled WAVE, `audioFeatures`); only VIDEO
+  * decode remains a clearly-marked STUB (no JVM-native container parser
+  * ships with the JDK). On a real cluster `decodeStub` is replaced by the
+  * codec call with the same signature; nothing else changes.
   */
 object Multimodal {
 
@@ -122,6 +124,70 @@ object Multimodal {
         }
       }
       .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b", "thumb_gray")
+      .orderBy($"media_id")
+  }
+
+  // ---- REAL audio path (javax.sound.sampled — JDK-native WAVE) ---------
+
+  /** Deterministic 16-bit PCM mono WAV derived from the doc text — an
+    * actual WAVE container written by the JDK's AudioSystem, so
+    * `audioFeatures` below is a REAL codec round-trip like the PNG path
+    * (q23). Sample i = (byte(i mod L) − 128)·256 + ((id + i) mod 256) over
+    * the UTF-8 bytes of text||id — integer-exact, so an independent engine
+    * recomputes the decoded features from the text alone (the q29 oracle).
+    * With this, video alone remains stubbed (no JVM-native container
+    * parser ships with the JDK). */
+  def synthesizeAudio(docs: DataFrame, nSamples: Int = 256): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val s = (text + id).getBytes("UTF-8")
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val v = (((s(i % s.length) & 0xff) - 128) * 256 + ((id + i) % 256).toInt).toShort
+          pcm(2 * i) = (v & 0xff).toByte // little-endian PCM16
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
+      }
+    }.toDF("media_id", "wav")
+  }
+
+  /** REAL decode: AudioSystem parses the WAVE container, the PCM16 frames
+    * are accumulated with INTEGER sums (PCM is lossless, so the decoded
+    * means equal means recomputed straight from the synthesis formula). */
+  def audioFeatures(spark: SparkSession, audio: DataFrame): DataFrame = {
+    import spark.implicits._
+    audio.select("media_id", "wav").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, wav) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+            s"unexpected decoded format: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0L; var sumAbs = 0L
+          var i = 0
+          while (i < n) {
+            val v = (((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            sum += v; sumAbs += math.abs(v)
+            i += 1
+          }
+          (id, fmt.getSampleRate.toInt, n.toLong,
+            sum.toDouble / n, sumAbs.toDouble / n)
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "mean_sample", "mean_abs")
       .orderBy($"media_id")
   }
 

@@ -237,6 +237,23 @@ class OpsSpec extends AnyFunSuite {
       again.map(f => (f._1, f._4, f._5, f._6)).toSeq)
   }
 
+  test("real audio decode: WAV round-trip through javax.sound.sampled") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val feats = Multimodal.audioFeatures(spark, Multimodal.synthesizeAudio(docs))
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(feats.length == 40)
+    // decoded means equal a direct driver-side computation from the formula
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    feats.foreach { case (id, rate, n, mean, meanAbs) =>
+      assert(rate == 8000 && n == 256)
+      val s = (texts(id) + id).getBytes("UTF-8")
+      val vs = (0 until 256).map(i => ((s(i % s.length) & 0xff) - 128) * 256 + ((id + i) % 256).toInt)
+      assert(mean == vs.sum.toDouble / 256)
+      assert(meanAbs == vs.map(math.abs).sum.toDouble / 256)
+    }
+  }
+
   test("rolling hash: shift-sensitive, deterministic") {
     val t1 = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i")
     assert(TextOps.rollingHash(t1) == TextOps.rollingHash(t1))
