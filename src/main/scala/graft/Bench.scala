@@ -91,7 +91,10 @@ object Bench {
     // co-tenant noise on this host swings identical runs 2-16x; min-of-reps
     // is the least-interference sample (reps interleaved across levels so a
     // noisy phase doesn't bias one level)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // 3 reps: co-tenant noise swings identical runs 2-16x (BASELINE.md); a
+    // third interleaved rep materially raises the odds that the min-of-reps
+    // pair the artifact records catches a quiet phase at both levels
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("queries")
     val lo = 2
     val hi = 8

@@ -217,6 +217,12 @@ object SparkEntry {
       Multimodal.audioFeatures(s,
         Multimodal.synthesizeAudio(
           s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 300)))),
+    // REAL video check: RIFF/AVI container walk + per-frame PNG decode
+    // (lossless), so per-frame channel means recompute from the formula
+    "q30_video_decode" -> ((s, dir) =>
+      Multimodal.videoFrameFeatures(s,
+        Multimodal.synthesizeVideos(
+          s.read.parquet(t(dir, "documents")).filter(col("doc_id") < 200)))),
 
     // ---- the search engine itself ------------------------------------
     // bit-identity across the four internal paths is the sbt golden suite;
@@ -651,6 +657,25 @@ object SparkEntry {
         |  sum(v)::DOUBLE / count(*)::DOUBLE AS mean_sample,
         |  sum(abs(v))::DOUBLE / count(*)::DOUBLE AS mean_abs
         |FROM smp GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // RIFF/AVI + PNG are parsed/decoded for real; pixels are integer
+    // functions of (text || doc_id, frame), so per-frame means recompute
+    "q30_video_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, i,
+        |    ascii(substr(s, CAST(((i + 3*f) % L) + 1 AS INTEGER), 1))::BIGINT AS r,
+        |    ascii(substr(s, CAST(((i*7 + 3 + f) % L) + 1 AS INTEGER), 1))::BIGINT AS g,
+        |    (doc_id + i + f) % 256 AS b
+        |  FROM (SELECT doc_id, text || CAST(doc_id AS VARCHAR) AS s,
+        |          length(text || CAST(doc_id AS VARCHAR)) AS L
+        |        FROM documents WHERE doc_id < 200),
+        |       (SELECT unnest(range(0, 4)) AS f),
+        |       (SELECT unnest(range(0, 256)) AS i))
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  16 AS width, 16 AS height,
+        |  sum(r)::DOUBLE / 256.0 AS mean_r,
+        |  sum(g)::DOUBLE / 256.0 AS mean_g,
+        |  sum(b)::DOUBLE / 256.0 AS mean_b
+        |FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin,
     "q18_media_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
         |  substring(text, CAST(f*64+1 AS INTEGER), 4) AS frame_str

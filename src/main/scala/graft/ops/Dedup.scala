@@ -462,9 +462,37 @@ object Dedup {
     // so the q24 DuckDB oracle recomputes the identical buckets
     val hyper = DetHash.signPlanes(planes, dims, seed)
     val bHyper = spark.sparkContext.broadcast(hyper)
-    val cands = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+    val bucketed = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
       .map { case (id, v) => (id, Similarity.hyperplaneSig(v, bHyper.value)) }
       .toDF("vec_id", "bucket")
+    pairsFromBuckets(spark, bucketed, embeddings, threshold, maxBucket)
+  }
+
+  /** embeddingNearDup over a PERSISTED LSH index (Similarity.buildLshIndex):
+    * the bucket assignment pass is skipped entirely — buckets AND vectors
+    * come off the index table, so repeated dedup sweeps (or dedup after
+    * ANN indexing) pay zero re-assignment. Identical output to
+    * embeddingNearDup when the index was built with the same planes/seed. */
+  def embeddingNearDupIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      threshold: Double = 0.95,
+      maxBucket: Int = 100000): DataFrame = {
+    val assignments = spark.read.parquet(s"$indexPath/assignments")
+    pairsFromBuckets(spark, assignments.select("vec_id", "bucket"),
+      assignments.select("vec_id", "embedding"), threshold, maxBucket)
+  }
+
+  /** Shared tail: 16-byte (vec_id, bucket) rows → in-bucket pairs (skew-
+    * capped) → exact-cosine verify with norms precomputed once per side. */
+  private def pairsFromBuckets(
+      spark: SparkSession,
+      bucketed: DataFrame, // (vec_id, bucket)
+      embeddings: DataFrame, // (vec_id, embedding)
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
+    import spark.implicits._
+    val cands = bucketed
       .groupBy($"bucket").agg(collect_list($"vec_id").as("ids"))
       .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
       .select($"ids").as[Seq[Long]]

@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` + typed metadata.
   *
   * The Spark-side machinery is real — schema, partition-friendly batch
-  * iteration, deterministic outputs. Decode status: IMAGE is a real codec
-  * round-trip (JDK ImageIO PNG, `imageFeatures`), AUDIO is a real codec
-  * round-trip (JDK javax.sound.sampled WAVE, `audioFeatures`); only VIDEO
-  * decode remains a clearly-marked STUB (no JVM-native container parser
-  * ships with the JDK). On a real cluster `decodeStub` is replaced by the
-  * codec call with the same signature; nothing else changes.
+  * iteration, deterministic outputs. All three modalities have REAL
+  * JDK-only decode round-trips: IMAGE (ImageIO PNG, `imageFeatures`),
+  * AUDIO (javax.sound.sampled WAVE, `audioFeatures`), VIDEO (RIFF/AVI
+  * container walk + per-frame ImageIO decode, `videoFrameFeatures`).
+  * `decodeStub` remains only as the labeled generic plumbing seam where a
+  * cluster with external codecs (JPEG-XL, H.264, ...) plugs in a decoder
+  * with the same signature; nothing else changes.
   */
 object Multimodal {
 
@@ -189,6 +190,108 @@ object Multimodal {
       }
       .toDF("media_id", "sample_rate", "n_samples", "mean_sample", "mean_abs")
       .orderBy($"media_id")
+  }
+
+  // ---- REAL video path (RIFF/AVI container + PNG frame codec) ----------
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+    id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+  }
+
+  private def riffList(form: String, bodies: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", form.getBytes("US-ASCII") ++ bodies.flatten)
+
+  /** Minimal spec-correct AVI: RIFF('AVI ') → LIST(hdrl){avih} +
+    * LIST(movi){'00dc' × frames}. Frames are PNG-encoded — the MJPEG
+    * layout with a LOSSLESS codec, so the decode is a real container
+    * parse + real image-codec round-trip whose features an independent
+    * engine recomputes exactly from the synthesis formula (q30). */
+  def synthesizeVideos(docs: DataFrame, nFrames: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id", "text").as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val bytes = (text + id).getBytes("UTF-8")
+        val l = bytes.length
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < 256) {
+            val r = bytes((i + 3 * f) % l) & 0xff
+            val g = bytes((i * 7 + 3 + f) % l) & 0xff
+            val b = (id + i + f).toInt & 0xff
+            img.setRGB(i % 16, i / 16, (r << 16) | (g << 8) | b)
+            i += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        val avih = riffChunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+          le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+          le32(16) ++ le32(16) ++ new Array[Byte](16))
+        val movi = riffList("movi", frames.map(riffChunk("00dc", _)): _*)
+        val body = "AVI ".getBytes("US-ASCII") ++ riffList("hdrl", avih) ++ movi
+        val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+        (id, avi)
+      }
+    }.toDF("media_id", "avi")
+  }
+
+  /** Generic RIFF walker: collects the video-data ('00dc'/'00db') chunk
+    * payloads of ANY AVI by recursing through RIFF/LIST forms with proper
+    * word alignment — a real container parser, not a byte-offset stub. */
+  def riffVideoChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def u32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def id(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val cid = id(off); val sz = u32(off + 4); val body = off + 8
+        if (cid == "RIFF" || cid == "LIST") walk(body + 4, math.min(body + sz, end))
+        else if (cid == "00dc" || cid == "00db")
+          out += java.util.Arrays.copyOfRange(bytes, body, math.min(body + sz, bytes.length))
+        off = body + sz + (sz & 1)
+      }
+    }
+    walk(0, bytes.length)
+    out.toSeq
+  }
+
+  /** REAL video decode: parse the AVI container, ImageIO-decode each frame,
+    * emit per-frame channel means (integer sums / 256 — engine-exact). */
+  def videoFrameFeatures(spark: SparkSession, videos: DataFrame): DataFrame = {
+    import spark.implicits._
+    videos.select("media_id", "avi").as[(Long, Array[Byte])]
+      .flatMap { case (mid, avi) =>
+        riffVideoChunks(avi).iterator.zipWithIndex.map { case (png, f) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var r = 0L; var g = 0L; var b = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          (mid, f, w, h, r / n, g / n, b / n)
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "mean_r", "mean_g", "mean_b")
+      .orderBy($"media_id", $"frame_idx")
   }
 
   /** Frame sampling for video rows: every `stride`-th 4-byte window of the

@@ -233,6 +233,73 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
   }
 
+  private def cosineFD(v: Seq[Float], c: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < v.length) {
+      dot += v(i).toDouble * c(i)
+      na += v(i).toDouble * v(i).toDouble
+      nb += c(i) * c(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Lloyd's refinement of the IVF codebook (deterministic init = the
+    * lowest-`nCells` vectors, i.e. the untrained codebook). Each iteration
+    * is ONE broadcast map + groupBy aggregation over the corpus; the
+    * driver holds only the k×dims codebook. Empty cells keep their old
+    * centroid. Writes `path/centroids` (float, the codebook schema) and
+    * re-runs the assignment pass — the drop-in-codebook contract of
+    * buildIvfIndex. The q27 oracle keeps the untrained codebook; training
+    * is the recall knob (spec: recall tightens at the same nProbe). */
+  def trainIvfCentroids(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      path: String,
+      nCells: Int = 16,
+      iters: Int = 5): Unit = {
+    import spark.implicits._
+    var cs: Array[Array[Double]] = embeddings.select("vec_id", "embedding")
+      .orderBy("vec_id").limit(nCells)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map(_._2.map(_.toDouble).toArray)
+    val ds = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+    for (_ <- 0 until iters) {
+      val bC = spark.sparkContext.broadcast(cs)
+      val sums = ds.map { case (_, v) =>
+          val c = bC.value
+          var best = 0; var bestCos = Double.MinValue; var i = 0
+          while (i < c.length) {
+            val cc = cosineFD(v, c(i))
+            if (cc > bestCos) { bestCos = cc; best = i }
+            i += 1
+          }
+          (best, v.map(_.toDouble).toArray, 1L)
+        }
+        .groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          var n = 0L
+          var acc: Array[Double] = null
+          it.foreach { case (_, v, k) =>
+            if (acc == null) acc = new Array[Double](v.length)
+            var i = 0; while (i < v.length) { acc(i) += v(i); i += 1 }
+            n += k
+          }
+          (cell, acc.map(_ / n), n)
+        }
+        .collect()
+      bC.destroy()
+      val next = cs.map(_.clone())
+      sums.foreach { case (cell, mean, _) => next(cell) = mean }
+      cs = next
+    }
+    spark.createDataset(cs.toIndexedSeq.zipWithIndex
+        .map { case (c, cell) => (cell, c.map(_.toFloat).toSeq) })
+      .toDF("cell", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    buildIvfAssignments(spark, embeddings, path)
+  }
+
   /** Top-k over a persisted IVF index: the query ranks the (tiny, driver-
     * side) codebook, then reads ONLY its nProbe closest cells — a
     * partition-pruned scan — and scores them with the codegen'd cosine. */

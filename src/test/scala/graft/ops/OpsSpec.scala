@@ -153,6 +153,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: k-means-trained codebook tightens recall at the same nProbe") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_trained").toString
+    Similarity.buildIvfIndex(spark, emb, idx, nCells = 16)
+    Similarity.trainIvfCentroids(spark, emb, idx, nCells = 16, iters = 5)
+    val q = clusteredVecs.find(_._1 == 0L).get._2
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).as[(Long, Double)]
+      .collect().map(_._1).toSet
+    val ivf = Similarity.ivfTopKIndexed(spark, idx, q, 0L, 10, nProbe = 4)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.85, s"trained recall $recall")
+  }
+
   test("LSH ANN (persisted index): recall vs one-shot identity, partition-pruned scan") {
     import spark.implicits._
     val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
@@ -168,6 +183,19 @@ class OpsSpec extends AnyFunSuite {
     val oneShot = Similarity.lshTopK(spark, emb, 0L, 10, probeHamming = 2)
       .as[(Long, Double)].collect().toSeq
     assert(indexed == oneShot)
+  }
+
+  test("embedding near-dup off the persisted LSH index equals the inline path") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("lsh_dedup").toString
+    Similarity.buildLshIndex(spark, emb, idx) // same adaptive planes + seed
+    val inline = Dedup.embeddingNearDup(spark, emb, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val indexed = Dedup.embeddingNearDupIndexed(spark, idx, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(inline == indexed)
+    assert(inline.nonEmpty)
   }
 
   test("simhash banding survives bucket-overflow scale (Manku block-combination keys)") {
@@ -251,6 +279,28 @@ class OpsSpec extends AnyFunSuite {
       val vs = (0 until 256).map(i => ((s(i % s.length) & 0xff) - 128) * 256 + ((id + i) % 256).toInt)
       assert(mean == vs.sum.toDouble / 256)
       assert(meanAbs == vs.map(math.abs).sum.toDouble / 256)
+    }
+  }
+
+  test("real video decode: RIFF/AVI container walk + per-frame PNG round-trip") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val feats = Multimodal.videoFrameFeatures(spark, Multimodal.synthesizeVideos(docs))
+      .as[(Long, Int, Int, Int, Double, Double, Double)].collect()
+    assert(feats.length == 20 * 4)
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    feats.foreach { case (id, f, w, h, mr, mg, mb) =>
+      assert(w == 16 && h == 16 && f >= 0 && f < 4)
+      val bytes = (texts(id) + id).getBytes("UTF-8")
+      val l = bytes.length
+      var r = 0L; var g = 0L; var b = 0L
+      (0 until 256).foreach { i =>
+        r += bytes((i + 3 * f) % l) & 0xff
+        g += bytes((i * 7 + 3 + f) % l) & 0xff
+        b += (id + i + f) & 0xff
+      }
+      assert(mr == r / 256.0 && mg == g / 256.0 && mb == b / 256.0,
+        s"media $id frame $f")
     }
   }
 
