@@ -100,11 +100,19 @@ object Dedup {
       shingleN: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000): DataFrame =
+    candidatesFromSigs(spark, minHashSigs(spark, docs, shingleN, k), k, bands, maxBucket)
+
+  private def candidatesFromSigs(
+      spark: SparkSession,
+      sigs: DataFrame,
+      k: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
     import spark.implicits._
     require(k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
     val r = k / bands
-    val banded = minHashSigs(spark, docs, shingleN, k).as[(Long, Seq[Long])]
+    val banded = sigs.as[(Long, Seq[Long])]
       .flatMap { case (id, sig) =>
         (0 until bands).iterator.map { b =>
           // polynomial fold of the band's components in GF(2^61−1): SQL-
@@ -135,11 +143,12 @@ object Dedup {
   /** MinHash + LSH banding: docs sharing any band bucket are candidate
     * pairs; reported candidates = estimated Jaccard ≥ threshold.
     *
-    * shingle→minhash is a doc-local flatMap; candidate generation is one
-    * groupBy on (band, bucket) with 24-byte rows; signatures are joined
-    * back ONCE per side only for the estimate (pairs ≪ docs, so AQE
-    * broadcasts the pair side). At warehouse scale persist `minHashSigs`
-    * once and reuse it across both joins instead of recomputing. */
+    * shingle→minhash is a doc-local flatMap, computed ONCE and cached for
+    * the duration of the query (round 2 recomputed the tokenize+md5 pass
+    * for the estimate join); candidate generation is one groupBy on
+    * (band, bucket) with 24-byte rows; signatures join back once per side
+    * for the estimate (pairs ≪ docs, so AQE broadcasts the pair side). At
+    * warehouse scale persist `minHashSigs` as a table instead. */
   def minHashLsh(
       spark: SparkSession,
       docs: DataFrame,
@@ -149,8 +158,10 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 100000): DataFrame = {
     import spark.implicits._
-    val cands = minHashLshCandidates(spark, docs, shingleN, k, bands, maxBucket)
-    val sigs = minHashSigs(spark, docs, shingleN, k)
+    // plain cache (recomputable lineage, evictable, caller-unpersistable) —
+    // NOT a localCheckpoint, so there is no leak-on-return hazard here
+    val sigs = minHashSigs(spark, docs, shingleN, k).cache()
+    val cands = candidatesFromSigs(spark, sigs, k, bands, maxBucket)
     cands
       .join(sigs.toDF("doc_a", "sig_a"), Seq("doc_a"))
       .join(sigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
