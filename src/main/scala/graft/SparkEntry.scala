@@ -70,7 +70,15 @@ object SparkEntry {
     transcriptEngine(s, dir).stats
     lshIndex(s, dir)
     ivfIndex(s, dir)
+    pqIndex(s, dir)
     ()
+  }
+
+  private def pqIndex(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/pq8x16_${dirKey(dir)}"
+    if (!new java.io.File(s"$p/codes/_SUCCESS").exists())
+      Similarity.buildPqIndex(s, s.read.parquet(t(dir, "embeddings")), p, m = 8, nCodes = 16)
+    p
   }
 
   private def ivfIndex(s: SparkSession, dir: String): String = {
@@ -186,6 +194,13 @@ object SparkEntry {
     "q27_ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopKIndexed(s, ivfIndex(s, dir), queryEmbedding(s, dir, 0L),
         queryId = 0L, k = 20)),
+    // PQ: the ADC top-100 shortlist is computed from the persisted codes
+    // table alone (m bytes/vector, 32× smaller than fp32), then re-ranked
+    // with exact cosine — the compressed-index shape 100 TB of embeddings
+    // requires (raw vectors touched only for the 100-row re-rank)
+    "q32_ann_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopKIndexed(s, pqIndex(s, dir), s.read.parquet(t(dir, "embeddings")),
+        queryEmbedding(s, dir, 0L), queryId = 0L, k = 20)),
 
     // ---- multimodal plumbing (decode stubbed, see Multimodal) ---------
     // array columns are digested to md5(to_json(...)) for the contract
@@ -235,7 +250,23 @@ object SparkEntry {
     "q21_bm25_boolean" -> ((s, dir) => scoreE9(
       transcriptEngine(s, dir).searchFrame("(\"blue whale\" OR \"query engine\") NOT \"red fish\""))),
     "q22_bm25_mixed" -> ((s, dir) => scoreE9(
-      transcriptEngine(s, dir).searchFrame("\"blue whale\" whale engine"))))
+      transcriptEngine(s, dir).searchFrame("\"blue whale\" whale engine"))),
+    // bulk multi-query scoring: 4 term queries in ONE distributed plan
+    // (one term-pruned scan + salted two-phase top-k) — the shape a
+    // training pipeline re-scoring thousands of filter queries needs
+    "q31_bulk_term_search" -> ((s, dir) =>
+      transcriptEngine(s, dir).searchManyTerms(bulkTerms.map(_._1))
+        .select(col("query"), col("docId"), col("conv_id"), col("turn_idx"),
+          round(col("score") * 1e9).cast("long").as("score_e9"))))
+
+  /** The q31 bulk query set with each bare term's token forms in this
+    * corpus (raw bare-term lookup hits the stem key directly for these —
+    * form lists pinned by graft.tools.StemMapCheck like q19–q22). */
+  private val bulkTerms: Seq[(String, Seq[String])] = Seq(
+    "whale" -> Seq("whale", "whales"),
+    "blue" -> Seq("blue"),
+    "red" -> Seq("red"),
+    "fish" -> Seq("fish", "fishes"))
 
   // ---- oracle-literal generators: the SAME DetHash functions the engine
   // uses emit SQL literal tables, so the DuckDB oracle recomputes identical
@@ -867,5 +898,94 @@ object SparkEntry {
         |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
         |   sqrt(list_dot_product(q_embedding::DOUBLE[], q_embedding::DOUBLE[]))) AS cosine
         |FROM embeddings, q WHERE vec_id <> 0
-        |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin)
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // bulk multi-query BM25: the q19 pipeline once per query term over ONE
+    // shared tokenize CTE, UNION ALL'd with the query string attached
+    "q31_bulk_term_search" -> bulkTermOracleSql,
+    // PQ ADC: codebook (16 lowest vec_ids' normalized subvectors), codes
+    // (per-subspace argmin, ties → lowest code), ADC shortlist-100 via an
+    // explicit left-associated 8-lookup sum (the engine folds the same
+    // IEEE order), then exact-cosine re-rank — all recomputed from the
+    // embeddings table alone
+    "q32_ann_pq_topk" -> pqOracleSql)
+
+  /** q19's BM25 SQL per bulk query term, sharing one tokenize pass. */
+  private def bulkTermOracleSql: String = {
+    val perTerm = bulkTerms.map { case (q, forms) =>
+      val in = forms.map(f => s"'$f'").mkString(", ")
+      s"""m_$q AS (
+         |  SELECT * FROM (
+         |    SELECT docId, conv_id, turn_idx, doc_len,
+         |      len(list_filter(toks, t -> lower(t) IN ($in))) AS tf
+         |    FROM base) WHERE tf > 0),
+         |s_$q AS (
+         |  SELECT docId, conv_id, turn_idx,
+         |    ln(((n - df) + 0.5) / (df + 0.5) + 1.0)
+         |      * ((tf::DOUBLE * 2.5) / (tf::DOUBLE + 1.5 * (0.25 + 0.75 * (doc_len::DOUBLE / avgdl)))) AS s
+         |  FROM m_$q, st, (SELECT count(*)::DOUBLE AS df FROM m_$q)),
+         |t_$q AS (
+         |  SELECT '$q' AS query, docId, conv_id, turn_idx,
+         |    CAST(round((0.4*(s/mx) + 0.6*(s/mx)) * 1000000000.0) AS BIGINT) AS score_e9
+         |  FROM s_$q, (SELECT max(s) AS mx FROM s_$q)
+         |  ORDER BY s DESC, docId ASC LIMIT 100)""".stripMargin
+    }.mkString(",\n")
+    val unions = bulkTerms.map { case (q, _) => s"SELECT * FROM t_$q" }
+      .mkString(" UNION ALL ")
+    s"""WITH docs AS (
+       |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
+       |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+       |        t -> trim(t, '''-')), t -> t <> '') AS toks
+       |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+       |base AS (SELECT docId, conv_id, turn_idx, len(toks) AS doc_len, toks FROM docs),
+       |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM base),
+       |$perTerm
+       |$unions""".stripMargin
+  }
+
+  /** PQ oracle over embeddings: m=8 subspaces of 8 dims, nCodes=16. */
+  private def pqOracleSql: String = {
+    val m = 8; val nCodes = 16
+    // 0.0 + l[j·16 + cl[j+1] + 1] + … — left-associated like the engine
+    val chain = (0 until m)
+      .map(j => s"l[${j * nCodes} + cl[${j + 1}] + 1]")
+      .mkString("0.0 + ", " + ", "")
+    s"""WITH ne AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+       |  FROM embeddings),
+       |book AS (
+       |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS code,
+       |    nv[j*8+1 : j*8+8] AS sub
+       |  FROM (SELECT vec_id, nv FROM ne ORDER BY vec_id LIMIT $nCodes),
+       |       (SELECT unnest(range(0, $m)) AS j)),
+       |enc AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT n.vec_id, b.j, b.code,
+       |      row_number() OVER (PARTITION BY n.vec_id, b.j ORDER BY
+       |        list_dot_product(
+       |          list_transform(list_zip(n.nv[b.j*8+1 : b.j*8+8], b.sub), z -> z[1] - z[2]),
+       |          list_transform(list_zip(n.nv[b.j*8+1 : b.j*8+8], b.sub), z -> z[1] - z[2])) ASC,
+       |        b.code ASC) AS rn
+       |    FROM ne n CROSS JOIN book b) WHERE rn = 1),
+       |qn AS (SELECT nv AS qnv FROM ne WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT b.j, b.code,
+       |    list_dot_product(
+       |      list_transform(list_zip(qnv[b.j*8+1 : b.j*8+8], b.sub), z -> z[1] - z[2]),
+       |      list_transform(list_zip(qnv[b.j*8+1 : b.j*8+8], b.sub), z -> z[1] - z[2])) AS v
+       |  FROM book b, qn),
+       |lutl AS (SELECT list(v ORDER BY j * $nCodes + code) AS l FROM lut),
+       |cvec AS (SELECT vec_id, list(code ORDER BY j) AS cl FROM enc GROUP BY vec_id),
+       |short AS (
+       |  SELECT vec_id, $chain AS adc FROM cvec, lutl
+       |  WHERE vec_id <> 0
+       |  ORDER BY adc ASC, vec_id ASC LIMIT 100),
+       |qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  list_dot_product(e.embedding::DOUBLE[], qemb::DOUBLE[]) /
+       |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       |   sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[]))) AS cosine
+       |FROM embeddings e JOIN short USING (vec_id), qe
+       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
+  }
 }

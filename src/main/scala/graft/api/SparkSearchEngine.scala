@@ -50,15 +50,25 @@ final class SparkSearchEngine(
   private def emptyFrame: DataFrame =
     spark.emptyDataset[(Long, Double)].toDF("docId", "score")
 
-  /** BM25 with df as a column — identical operation order to the oracle
-    * (BM25Ranker.cpp:431-437) so scores are bit-identical, not just close. */
-  private def bm25Col(tf: Column, dl: Column, dfCount: Column): Column = {
+  /** The df-only BM25 factor (Catalyst log = StrictMath.log, matching the
+    * oracle and the WAND path). Strictly positive for every df ≤ N. */
+  private def idfCol(dfCount: Column): Column = {
     val n = stats.total_docs.toDouble
-    val idf = log(((lit(n) - dfCount) + lit(0.5)) / (dfCount + lit(0.5)) + lit(1.0))
+    log(((lit(n) - dfCount) + lit(0.5)) / (dfCount + lit(0.5)) + lit(1.0))
+  }
+
+  /** The per-posting BM25 factor (everything but idf) — monotone in tf and
+    * doc_len, independent of df. */
+  private def tfPartCol(tf: Column, dl: Column): Column = {
     val docNorm = lit(1 - params.b) + lit(params.b) * (dl.cast("double") / lit(stats.avg_doc_len))
     val tfD = tf.cast("double")
-    idf * ((tfD * lit(params.k1 + 1)) / (tfD + lit(params.k1) * docNorm))
+    (tfD * lit(params.k1 + 1)) / (tfD + lit(params.k1) * docNorm)
   }
+
+  /** BM25 with df as a column — identical operation order to the oracle
+    * (BM25Ranker.cpp:431-437) so scores are bit-identical, not just close. */
+  private def bm25Col(tf: Column, dl: Column, dfCount: Column): Column =
+    idfCol(dfCount) * tfPartCol(tf, dl)
 
   /** Lazy max-normalize: max over the conceptually-dense vector as a
     * broadcast scalar aggregate. The default only competes when some doc
@@ -396,6 +406,73 @@ final class SparkSearchEngine(
       SearchHit(docId, convId, turnIdx, byId(docId), text,
         Snippeter.snippet(text, keys, weights))
     }.sortBy(h => (-h.score, h.docId)).toVector
+  }
+
+  /** Bulk multi-query scoring: the top-k of MANY bare-term queries in one
+    * distributed plan. The single-query paths cost ≥ one Spark job each —
+    * fine interactively, but a training-data pipeline re-scoring thousands
+    * of filter queries pays that scheduling overhead per query. Here every
+    * queried term's postings are read in ONE term-pruned scan; per-term
+    * (df, max tf-part) come from one map-side-combined aggregation (never a
+    * whole posting list on one reducer); and the per-query top-k is a
+    * SALTED two-phase window — partial top-k per (term, salt), then final
+    * top-k over ≤ salts·k survivors — so a stop-word term with 10^9
+    * postings still never concentrates on a single partition.
+    *
+    * Scores are bit-identical to the single-query paths (the normalization
+    * max idf·max(tfPart) multiplies the same two doubles as the top-1 raw
+    * score, and idf > 0 always): asserted against WAND in EngineSpec.
+    * Semantics: per query, the top-k MATCHING docs (score desc, docId asc)
+    * after the accuracy filter. The single-query paths' dense zero-fill of
+    * sub-k result sets (a reference presentation quirk) is deliberately
+    * not replicated — absent docs score 0 and a bulk filtering pipeline
+    * wants matches, not padding; with accuracy > 0 the single-query paths
+    * agree exactly.
+    *
+    * @return (query, docId, conv_id, turn_idx, score), k rows max per query
+    */
+  def searchManyTerms(
+      queries: Seq[String],
+      k: Int = params.topK,
+      accuracy: Double = 0.0): DataFrame = {
+    require(queries.nonEmpty, "searchManyTerms needs at least one query")
+    val keyed = queries.distinct
+      .map(q => (q, if (params.stemBareTerms) TextPipeline.term(q) else q))
+    val qdf = spark.createDataset(keyed).toDF("query", "term")
+    val keys = keyed.map(_._2).distinct
+    // one pruned scan shape, read twice (stats pass + scoring pass); both
+    // reads reach parquet with the term filter pushed down
+    val rows = postings.filter($"term".isin(keys: _*))
+      .select($"term", $"docId", tfPartCol($"tf", $"doc_len").as("f"))
+    val perTerm = rows.groupBy($"term").agg(
+      count(lit(1)).cast("double").as("df_count"),
+      max($"f").as("fmax"))
+    val tfw = params.termFrequencyWeight; val emw = params.exactMatchWeight
+    val scored = rows.join(broadcast(perTerm), Seq("term"))
+      .select($"term", $"docId",
+        (idfCol($"df_count") * $"f").as("s"),
+        (idfCol($"df_count") * $"fmax").as("mx"))
+      .select($"term", $"docId",
+        when($"mx" > 0, $"s" / $"mx").otherwise($"s").as("norm"))
+      .select($"term", $"docId",
+        (lit(tfw) * $"norm" + lit(emw) * $"norm").as("score"))
+      .filter($"score" >= accuracy)
+    val salts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"term", $"salt").orderBy($"score".desc, $"docId".asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"term").orderBy($"score".desc, $"docId".asc)
+    val top = scored
+      .withColumn("salt", pmod(hash($"docId"), lit(salts)))
+      .withColumn("rn", row_number().over(w1)).filter($"rn" <= k)
+      .withColumn("rn2", row_number().over(w2)).filter($"rn2" <= k)
+      .select($"term", $"docId", $"score")
+    // inner joins: the dict is complete by the row-level build invariant,
+    // and inner lets Spark broadcast the (N·k-row) result side instead of
+    // shuffling the corpus-sized dictionary
+    top.join(broadcast(qdf), Seq("term"))
+      .join(dict, Seq("docId"))
+      .select($"query", $"docId", $"conv_id", $"turn_idx", $"score")
   }
 
   /** DataFrame variant for the driver harness (SparkEntry). */

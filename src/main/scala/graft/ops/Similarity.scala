@@ -300,6 +300,218 @@ object Similarity {
     buildIvfAssignments(spark, embeddings, path)
   }
 
+  // ------------------------------------------------------------------ PQ --
+  //
+  // Product quantization (Jégou, Douze & Schmid, "Product Quantization for
+  // Nearest Neighbor Search", TPAMI 2011). At 100 TB the raw fp32 embedding
+  // table itself is the scan bottleneck: 10^10 × 64-dim fp32 = 2.5 TB that
+  // every ANN variant above still has to store per bucket/cell. PQ stores
+  // each vector as `m` small codes instead: the L2-normalized vector is
+  // split into m subvectors and each is replaced by the id of its nearest
+  // codeword in a per-subspace codebook — m bytes/vector at nCodes ≤ 256
+  // (32× smaller than fp32 at dims=64, m=8). Queries scan ONLY the codes
+  // table with ADC (asymmetric distance computation): the query builds an
+  // m×nCodes lookup table of partial squared-L2 distances once, a
+  // candidate's approximate distance is m table lookups summed (pure
+  // codegen'd column arithmetic), and only the ADC shortlist is re-ranked
+  // with exact cosine against the raw table (a point-lookup read).
+  //
+  // The codebook is DetHash-free but still deterministic: init = the
+  // subvectors of the `nCodes` lowest vec_ids (engine-reproducible, so the
+  // q32 DuckDB oracle recomputes identical codes); `trainPqCodebook` runs
+  // per-subspace Lloyd's as the recall knob — same drop-in-codebook
+  // contract as trainIvfCentroids. Composes with IVF: write the codes
+  // table partitionBy(cell) to get IVF-PQ (partition-pruned ADC scans).
+
+  /** L2-normalize to double precision (the zero vector stays zero). */
+  def l2normalize(v: Seq[Float]): Array[Double] = {
+    val d = new Array[Double](v.length)
+    var n = 0.0; var i = 0
+    while (i < v.length) { val x = v(i).toDouble; d(i) = x; n += x * x; i += 1 }
+    if (n > 0) { val s = math.sqrt(n); i = 0; while (i < d.length) { d(i) /= s; i += 1 } }
+    d
+  }
+
+  /** ||v[off..off+len) − cw||², sequential accumulation (the oracle's
+    * list_dot_product(diff, diff) folds in the same order). */
+  private def sqDist(v: Array[Double], off: Int, cw: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < cw.length) { val diff = v(off + i) - cw(i); s += diff * diff; i += 1 }
+    s
+  }
+
+  /** PQ codes of one normalized vector: per subspace the nearest codeword
+    * (ties → lowest code). */
+  def pqEncode(vn: Array[Double], book: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = book.length
+    val subDim = vn.length / m
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < book(j).length) {
+        val d = sqDist(vn, j * subDim, book(j)(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
+  /** Deterministic init codebook: subvectors of the nCodes lowest vec_ids. */
+  private def pqInitCodebook(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      m: Int,
+      nCodes: Int): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val seeds = embeddings.select("vec_id", "embedding")
+      .orderBy("vec_id").limit(nCodes)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map(r => l2normalize(r._2))
+    require(seeds.nonEmpty, "no vectors to seed the PQ codebook")
+    val dims = seeds.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+    val subDim = dims / m
+    Array.tabulate(m, seeds.length)((j, c) => seeds(c).slice(j * subDim, (j + 1) * subDim))
+  }
+
+  private def writePqCodebook(
+      spark: SparkSession, book: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    val rows = for (j <- book.indices; c <- book(j).indices)
+      yield (j, c, book(j)(c).toSeq)
+    spark.createDataset(rows).toDF("j", "code", "sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  private def readPqCodebook(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebook")
+      .as[(Int, Int, Seq[Double])].collect()
+    val m = rows.map(_._1).max + 1
+    val nCodes = rows.map(_._2).max + 1
+    val book = Array.ofDim[Array[Double]](m, nCodes)
+    rows.foreach { case (j, c, sub) => book(j)(c) = sub.toArray }
+    book
+  }
+
+  /** Encode pass against an existing `path/codebook` (broadcast map-only;
+    * the codes table is the persisted index the ADC scan reads). */
+  def buildPqCodes(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    val book = readPqCodebook(spark, path)
+    val b = spark.sparkContext.broadcast(book)
+    embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, pqEncode(l2normalize(v), b.value).toSeq) }
+      .toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** One-time PQ index build with the deterministic init codebook. */
+  def buildPqIndex(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      path: String,
+      m: Int = 8,
+      nCodes: Int = 16): Unit = {
+    writePqCodebook(spark, pqInitCodebook(spark, embeddings, m, nCodes), path)
+    buildPqCodes(spark, embeddings, path)
+  }
+
+  /** Per-subspace Lloyd's refinement of the PQ codebook (deterministic
+    * init = the untrained codebook). One broadcast map + grouped mean per
+    * iteration; the driver holds only the m×nCodes×subDim codebook. Empty
+    * codes keep their old codeword. The q32 oracle keeps the untrained
+    * codebook; training is the recall knob. */
+  def trainPqCodebook(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      path: String,
+      m: Int = 8,
+      nCodes: Int = 16,
+      iters: Int = 5): Unit = {
+    import spark.implicits._
+    var book = pqInitCodebook(spark, embeddings, m, nCodes)
+    val ds = embeddings.select("embedding").as[Seq[Float]].map(l2normalize)
+    for (_ <- 0 until iters) {
+      val b = spark.sparkContext.broadcast(book)
+      val means = ds.flatMap { vn =>
+          val bk = b.value
+          val subDim = vn.length / bk.length
+          bk.indices.iterator.map { j =>
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < bk(j).length) {
+              val d = sqDist(vn, j * subDim, bk(j)(c))
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            ((j, best), vn.slice(j * subDim, (j + 1) * subDim))
+          }
+        }
+        .groupByKey(_._1)
+        .mapGroups { (key: (Int, Int), it: Iterator[((Int, Int), Array[Double])]) =>
+          var n = 0L
+          var acc: Array[Double] = null
+          it.foreach { case (_, sv) =>
+            if (acc == null) acc = new Array[Double](sv.length)
+            var i = 0; while (i < sv.length) { acc(i) += sv(i); i += 1 }
+            n += 1
+          }
+          (key._1, key._2, acc.map(_ / n).toSeq)
+        }
+        .collect()
+      b.destroy()
+      val next = book.map(_.map(_.clone()))
+      means.foreach { case (j, c, mean) => next(j)(c) = mean.toArray }
+      book = next
+    }
+    writePqCodebook(spark, book, path)
+    buildPqCodes(spark, embeddings, path)
+  }
+
+  /** Top-k over a persisted PQ index: ADC scan of the codes table (m
+    * element_at lookups into the broadcast-literal LUT, whole-stage
+    * codegen, never touching raw embeddings) → shortlist → exact cosine
+    * re-rank over just those ids against `embeddings`. */
+  def pqTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      embeddings: DataFrame,
+      queryVec: Seq[Float],
+      queryId: Long,
+      k: Int,
+      shortlist: Int = 100): DataFrame = {
+    import spark.implicits._
+    val book = readPqCodebook(spark, indexPath)
+    val m = book.length
+    val nCodes = book(0).length
+    val qn = l2normalize(queryVec)
+    val subDim = qn.length / m
+    // m×nCodes ADC table, flattened j-major (index = j*nCodes + code)
+    val lut: Seq[Double] =
+      for (j <- 0 until m; c <- 0 until nCodes) yield sqDist(qn, j * subDim, book(j)(c))
+    val lutCol = typedLit(lut)
+    // explicit left-associated chain 0.0 + x_0 + … + x_{m-1}: the oracle
+    // sums the same lookups in the same IEEE order
+    val approx = (0 until m).foldLeft(lit(0.0): Column) { (acc, j) =>
+      acc + element_at(lutCol, (col("codes").getItem(j) + lit(j * nCodes + 1)).cast("int"))
+    }
+    val ids = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), approx.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select("vec_id").as[Long].collect()
+    val qd = typedLit(queryVec.map(_.toDouble))
+    embeddings.filter(col("vec_id").isin(ids.toSeq: _*))
+      .select(col("vec_id"), cosineCol(col("embedding"), qd).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Top-k over a persisted IVF index: the query ranks the (tiny, driver-
     * side) codebook, then reads ONLY its nProbe closest cells — a
     * partition-pruned scan — and scores them with the codegen'd cosine. */

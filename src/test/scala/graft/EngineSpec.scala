@@ -161,6 +161,33 @@ class EngineSpec extends AnyFunSuite {
       engine.topK(engine.scores("the"), 0.0, 3))
   }
 
+  test("bulk multi-term search is bit-identical to the per-term WAND path") {
+    val (io, _) = built
+    import spark.implicits._
+    val engine = new SparkSearchEngine(spark, io)
+    val terms = Seq("whale", "blue", "the", "run", "engin", "a", "zzzunknown")
+    val bulk = engine.searchManyTerms(terms, k = 50)
+      .select("query", "docId", "score")
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).sortBy { case (d, s) => (-s, d) }.toVector
+      }
+    terms.foreach { t =>
+      // accuracy > 0 suppresses the single-query dense zero-fill (bulk
+      // returns matching docs only); scores compare with exact ==
+      val single = engine.termTopKWand(t, Double.MinPositiveValue, 50)
+      assert(bulk.getOrElse(t, Vector.empty) == single, s"term '$t'")
+    }
+    // a missing term yields no rows, not an error
+    assert(!bulk.contains("zzzunknown"))
+    // the scoring scan prunes to the queried terms (pushed-down In filter)
+    val plan = engine.searchManyTerms(Seq("whale", "blue"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term, [blue,whale])"),
+      s"term In-filter must reach the parquet scan:\n$plan")
+  }
+
   test("row-level invariant: per-turn text equality via the dictionary") {
     val (io, _) = built
     import spark.implicits._

@@ -185,6 +185,45 @@ class OpsSpec extends AnyFunSuite {
     assert(indexed == oneShot)
   }
 
+  test("PQ ANN: ADC shortlist + exact re-rank has good recall; codes are m ints") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Similarity.buildPqIndex(spark, emb, idx, m = 8, nCodes = 16)
+    // the persisted index stores m codes per vector, not the raw floats —
+    // the 32×-at-dims-64 compression claim is structural
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.columns.toSeq == Seq("vec_id", "codes"))
+    val sample = codes.limit(5).as[(Long, Seq[Int])].collect()
+    assert(sample.forall(_._2.length == 8))
+    assert(sample.forall(_._2.forall(c => c >= 0 && c < 16)))
+    val q = clusteredVecs.find(_._1 == 0L).get._2
+    val pq = Similarity.pqTopKIndexed(spark, idx, emb, q, 0L, 10, shortlist = 100)
+      .as[(Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).as[(Long, Double)].collect()
+    val recall = (brute.map(_._1).toSet intersect pq.map(_._1).toSet).size.toDouble / brute.length
+    assert(recall >= 0.7, s"PQ recall $recall")
+    // the re-rank is EXACT cosine: any overlap with brute force must agree
+    val exact = brute.toMap
+    pq.foreach { case (id, c) =>
+      exact.get(id).foreach(e => assert(math.abs(c - e) < 1e-12))
+    }
+  }
+
+  test("PQ ANN: Lloyd's-trained codebook keeps recall at the same shortlist") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("pq_trained").toString
+    Similarity.trainPqCodebook(spark, emb, idx, m = 8, nCodes = 16, iters = 5)
+    val q = clusteredVecs.find(_._1 == 0L).get._2
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).as[(Long, Double)]
+      .collect().map(_._1).toSet
+    val pq = Similarity.pqTopKIndexed(spark, idx, emb, q, 0L, 10, shortlist = 60)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"trained PQ recall $recall")
+  }
+
   test("embedding near-dup off the persisted LSH index equals the inline path") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
