@@ -30,15 +30,19 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Main <gen|build|ingest|search|clear> [--flags]")
+      System.err.println("usage: graft.Main <gen|build|ingest|search|searchmany|clear> [--flags]")
       sys.exit(2)
     }
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(s"graft-${args.head}")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+    // spark-submit provides spark.master; local `sbt runMain` does not —
+    // fall back so the CLI runs in both (SPARK_GRAFT_MASTER to override)
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ctrl-C / SIGTERM cancels in-flight jobs (the *_terminate analogue);
@@ -96,6 +100,19 @@ object Main {
             engine.topKAuto(query, accuracy, params.topK)
               .foreach { case (d, s) => println(f"$s%.6f doc=$d") }
         }
+
+      case "searchmany" =>
+        // bulk scoring: comma-separated bare terms, ONE distributed plan
+        val qs = arg(args, "queries")
+          .getOrElse(sys.error("--queries required (comma-separated terms)"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val accuracy = arg(args, "accuracy").map(_.toDouble).getOrElse(0.0)
+        val engine = new SparkSearchEngine(spark, io, params)
+        engine.searchManyTerms(qs, params.topK, accuracy)
+          .orderBy($"query", $"score".desc, $"docId".asc)
+          .collect()
+          .foreach(r => println(
+            f"${r.getString(0)}%-20s ${r.getDouble(4)}%.6f doc=${r.getLong(1)} ${r.getString(2)}/${r.getInt(3)}"))
 
       case "clear" =>
         Seq(Tables.PostingsRaw, Tables.DocDict, Tables.Stats, Tables.TermStats,

@@ -71,6 +71,7 @@ object SparkEntry {
     lshIndex(s, dir)
     ivfIndex(s, dir)
     pqIndex(s, dir)
+    ivfPqIndex(s, dir)
     ()
   }
 
@@ -78,6 +79,14 @@ object SparkEntry {
     val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/pq8x16_${dirKey(dir)}"
     if (!new java.io.File(s"$p/codes/_SUCCESS").exists())
       Similarity.buildPqIndex(s, s.read.parquet(t(dir, "embeddings")), p, m = 8, nCodes = 16)
+    p
+  }
+
+  private def ivfPqIndex(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/ivfpq16_8x16_${dirKey(dir)}"
+    if (!new java.io.File(s"$p/codes/_SUCCESS").exists())
+      Similarity.buildIvfPqIndex(s, s.read.parquet(t(dir, "embeddings")), p,
+        nCells = 16, m = 8, nCodes = 16)
     p
   }
 
@@ -200,6 +209,11 @@ object SparkEntry {
     // requires (raw vectors touched only for the 100-row re-rank)
     "q32_ann_pq_topk" -> ((s, dir) =>
       Similarity.pqTopKIndexed(s, pqIndex(s, dir), s.read.parquet(t(dir, "embeddings")),
+        queryEmbedding(s, dir, 0L), queryId = 0L, k = 20)),
+    // IVF-PQ: the two prunings composed — the ADC scan reads ONLY the
+    // nProbe probed cell PARTITIONS of the m-byte codes table
+    "q33_ann_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopKIndexed(s, ivfPqIndex(s, dir), s.read.parquet(t(dir, "embeddings")),
         queryEmbedding(s, dir, 0L), queryId = 0L, k = 20)),
 
     // ---- multimodal plumbing (decode stubbed, see Multimodal) ---------
@@ -907,7 +921,10 @@ object SparkEntry {
     // explicit left-associated 8-lookup sum (the engine folds the same
     // IEEE order), then exact-cosine re-rank — all recomputed from the
     // embeddings table alone
-    "q32_ann_pq_topk" -> pqOracleSql)
+    "q32_ann_pq_topk" -> pqOracleSql,
+    // IVF-PQ: the q27 cell assignment + probe CTEs restrict the q32 ADC
+    // shortlist to the 4 probed cells
+    "q33_ann_ivfpq_topk" -> ivfPqOracleSql)
 
   /** q19's BM25 SQL per bulk query term, sharing one tokenize pass. */
   private def bulkTermOracleSql: String = {
@@ -942,22 +959,24 @@ object SparkEntry {
        |$unions""".stripMargin
   }
 
-  /** PQ oracle over embeddings: m=8 subspaces of 8 dims, nCodes=16. */
-  private def pqOracleSql: String = {
-    val m = 8; val nCodes = 16
-    // 0.0 + l[j·16 + cl[j+1] + 1] + … — left-associated like the engine
-    val chain = (0 until m)
-      .map(j => s"l[${j * nCodes} + cl[${j + 1}] + 1]")
-      .mkString("0.0 + ", " + ", "")
-    s"""WITH ne AS (
+  /** Shared PQ CTEs (m=8 subspaces of 8 dims, nCodes=16): normalized
+    * vectors, codebook, per-vector codes, query ADC LUT. `$chain` is the
+    * explicit left-associated 8-lookup ADC sum. */
+  private val PqM = 8
+  private val PqCodes = 16
+  private def pqAdcChain: String = (0 until PqM)
+    .map(j => s"l[${j * PqCodes} + cl[${j + 1}] + 1]")
+    .mkString("0.0 + ", " + ", "")
+  private def pqCtes: String =
+    s"""ne AS (
        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
        |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
        |  FROM embeddings),
        |book AS (
        |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS code,
        |    nv[j*8+1 : j*8+8] AS sub
-       |  FROM (SELECT vec_id, nv FROM ne ORDER BY vec_id LIMIT $nCodes),
-       |       (SELECT unnest(range(0, $m)) AS j)),
+       |  FROM (SELECT vec_id, nv FROM ne ORDER BY vec_id LIMIT $PqCodes),
+       |       (SELECT unnest(range(0, $PqM)) AS j)),
        |enc AS (
        |  SELECT vec_id, j, code FROM (
        |    SELECT n.vec_id, b.j, b.code,
@@ -974,18 +993,53 @@ object SparkEntry {
        |      list_transform(list_zip(qnv[b.j*8+1 : b.j*8+8], b.sub), z -> z[1] - z[2]),
        |      list_transform(list_zip(qnv[b.j*8+1 : b.j*8+8], b.sub), z -> z[1] - z[2])) AS v
        |  FROM book b, qn),
-       |lutl AS (SELECT list(v ORDER BY j * $nCodes + code) AS l FROM lut),
-       |cvec AS (SELECT vec_id, list(code ORDER BY j) AS cl FROM enc GROUP BY vec_id),
+       |lutl AS (SELECT list(v ORDER BY j * $PqCodes + code) AS l FROM lut),
+       |cvec AS (SELECT vec_id, list(code ORDER BY j) AS cl FROM enc GROUP BY vec_id)""".stripMargin
+
+  /** Exact-cosine re-rank of a `short(vec_id)` CTE. */
+  private def pqRerankSql: String =
+    """qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  list_dot_product(e.embedding::DOUBLE[], qemb::DOUBLE[]) /
+      |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |   sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[]))) AS cosine
+      |FROM embeddings e JOIN short USING (vec_id), qe
+      |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
+
+  private def pqOracleSql: String =
+    s"""WITH $pqCtes,
        |short AS (
-       |  SELECT vec_id, $chain AS adc FROM cvec, lutl
+       |  SELECT vec_id, $pqAdcChain AS adc FROM cvec, lutl
        |  WHERE vec_id <> 0
        |  ORDER BY adc ASC, vec_id ASC LIMIT 100),
-       |qe AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
-       |SELECT e.vec_id,
-       |  list_dot_product(e.embedding::DOUBLE[], qemb::DOUBLE[]) /
-       |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-       |   sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[]))) AS cosine
-       |FROM embeddings e JOIN short USING (vec_id), qe
-       |ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""".stripMargin
-  }
+       |$pqRerankSql""".stripMargin
+
+  /** IVF-PQ: q27's cell assignment + probe restrict the ADC shortlist. */
+  private def ivfPqOracleSql: String =
+    s"""WITH $pqCtes,
+       |c AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cemb
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |qc AS (SELECT embedding AS qcemb FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) /
+       |        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       |         sqrt(list_dot_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[]))) DESC,
+       |        c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT cell FROM c, qc ORDER BY
+       |    list_dot_product(qcemb::DOUBLE[], cemb::DOUBLE[]) /
+       |    (sqrt(list_dot_product(qcemb::DOUBLE[], qcemb::DOUBLE[])) *
+       |     sqrt(list_dot_product(cemb::DOUBLE[], cemb::DOUBLE[]))) DESC, cell ASC
+       |  LIMIT 4),
+       |short AS (
+       |  SELECT cv.vec_id, $pqAdcChain AS adc
+       |  FROM cvec cv JOIN asg USING (vec_id), lutl
+       |  WHERE cv.vec_id <> 0 AND asg.cell IN (SELECT cell FROM probe)
+       |  ORDER BY adc ASC, cv.vec_id ASC LIMIT 100),
+       |$pqRerankSql""".stripMargin
 }

@@ -512,6 +512,93 @@ object Similarity {
       .limit(k)
   }
 
+  // -------------------------------------------------------------- IVF-PQ --
+
+  /** IVF-PQ: the two prunings composed. The PQ codes table is written
+    * `partitionBy(cell)` against the deterministic IVF codebook, so a
+    * query ADC-scans only its nProbe cell partitions — at 10^10 vectors
+    * that is (nProbe/nCells) × 80 GB of codes instead of 2.56 TB of fp32.
+    * Same deterministic init codebooks as the parents → q33 is exactly
+    * DuckDB-reproducible. */
+  def buildIvfPqIndex(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      path: String,
+      nCells: Int = 16,
+      m: Int = 8,
+      nCodes: Int = 16): Unit = {
+    import spark.implicits._
+    val centroids = embeddings.select("vec_id", "embedding")
+      .orderBy("vec_id").limit(nCells)
+      .as[(Long, Seq[Float])].collect()
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), cell) => (cell, v) }
+    require(centroids.nonEmpty, "no centroids sampled")
+    spark.createDataset(centroids.toIndexedSeq).toDF("cell", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val book = pqInitCodebook(spark, embeddings, m, nCodes)
+    writePqCodebook(spark, book, path)
+    val bC = spark.sparkContext.broadcast(centroids.map(_._2))
+    val bB = spark.sparkContext.broadcast(book)
+    embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val cs = bC.value
+        var best = 0; var bestCos = Double.MinValue; var i = 0
+        while (i < cs.length) {
+          val c = cosine(v, cs(i))
+          if (c > bestCos) { bestCos = c; best = i } // first wins: lowest cell on ties
+          i += 1
+        }
+        (id, pqEncode(l2normalize(v), bB.value).toSeq, best)
+      }
+      .toDF("vec_id", "codes", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Top-k over a persisted IVF-PQ index: rank the driver-side centroid
+    * codebook, ADC-scan ONLY the nProbe probed cell partitions of the
+    * codes table (PartitionFilters-pruned), exact-cosine re-rank the
+    * shortlist against the raw table. */
+  def ivfPqTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      embeddings: DataFrame,
+      queryVec: Seq[Float],
+      queryId: Long,
+      k: Int,
+      nProbe: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    val probeCells = centroids
+      .map { case (cell, v) => (cell, cosine(queryVec, v)) }
+      .sortBy { case (cell, c) => (-c, cell) }
+      .take(nProbe).map(_._1).toSeq
+    val book = readPqCodebook(spark, indexPath)
+    val m = book.length
+    val nCodes = book(0).length
+    val qn = l2normalize(queryVec)
+    val subDim = qn.length / m
+    val lut: Seq[Double] =
+      for (j <- 0 until m; c <- 0 until nCodes) yield sqDist(qn, j * subDim, book(j)(c))
+    val lutCol = typedLit(lut)
+    val approx = (0 until m).foldLeft(lit(0.0): Column) { (acc, j) =>
+      acc + element_at(lutCol, (col("codes").getItem(j) + lit(j * nCodes + 1)).cast("int"))
+    }
+    val ids = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), approx.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select("vec_id").as[Long].collect()
+    val qd = typedLit(queryVec.map(_.toDouble))
+    embeddings.filter(col("vec_id").isin(ids.toSeq: _*))
+      .select(col("vec_id"), cosineCol(col("embedding"), qd).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Top-k over a persisted IVF index: the query ranks the (tiny, driver-
     * side) codebook, then reads ONLY its nProbe closest cells — a
     * partition-pruned scan — and scores them with the codegen'd cosine. */

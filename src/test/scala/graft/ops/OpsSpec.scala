@@ -210,6 +210,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ ANN: partition-pruned ADC scan, good recall, exact re-rank") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.buildIvfPqIndex(spark, emb, idx, nCells = 16, m = 8, nCodes = 16)
+    val q = clusteredVecs.find(_._1 == 0L).get._2
+    val probe = Similarity.ivfPqTopKIndexed(spark, idx, emb, q, 0L, 10,
+      nProbe = 6, shortlist = 100)
+    val got = probe.as[(Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).as[(Long, Double)].collect()
+    val recall = (brute.map(_._1).toSet intersect got.map(_._1).toSet).size.toDouble / brute.length
+    assert(recall >= 0.7, s"IVF-PQ recall $recall")
+    val exact = brute.toMap
+    got.foreach { case (id, c) =>
+      exact.get(id).foreach(e => assert(math.abs(c - e) < 1e-12))
+    }
+    // the ADC scan must be a partition-pruned read of the codes table
+    import org.apache.spark.sql.functions.col
+    val scan = spark.read.parquet(s"$idx/codes")
+      .filter(col("cell").isin(0, 1) && col("vec_id") =!= 0L)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"expected partition filters on cell in:\n$plan")
+  }
+
   test("PQ ANN: Lloyd's-trained codebook keeps recall at the same shortlist") {
     import spark.implicits._
     val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
