@@ -41,6 +41,19 @@ object DriveBig {
       val top = engine.topKAuto(q, 0.0, 100)
       println(f"QUERY [$q] rep$rep ${(System.nanoTime() - t1) / 1e9}%.2f s top=${top.headOption}")
     }
+    // bulk multi-query amortization at 10M turns: 64 head terms, one plan
+    val terms = spark.read.parquet(s"$wh/term_stats")
+      .orderBy(org.apache.spark.sql.functions.desc("df"), col("term").asc)
+      .limit(64).select("term").as[String].collect().toSeq
+    for (rep <- 1 to 2) {
+      val t2 = System.nanoTime()
+      terms.foreach(t => engine.termTopKWand(t, 0.0, 100))
+      val singleSec = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      engine.searchManyTerms(terms, k = 100).write.format("noop").mode("overwrite").save()
+      val bulkSec = (System.nanoTime() - t3) / 1e9
+      println(f"BULK64 rep$rep single=$singleSec%.1f s bulk=$bulkSec%.1f s speedup=${singleSec / bulkSec}%.1f x")
+    }
     val sizes = new java.io.File(wh).listFiles.map(d => d.getName + "=" +
       (Option(d.listFiles).map(_.map(_.length).sum).getOrElse(0L) / 1048576) + "MB")
     println("SIZES: " + sizes.mkString(" "))

@@ -271,7 +271,17 @@ object SparkEntry {
     "q31_bulk_term_search" -> ((s, dir) =>
       transcriptEngine(s, dir).searchManyTerms(bulkTerms.map(_._1))
         .select(col("query"), col("docId"), col("conv_id"), col("turn_idx"),
+          round(col("score") * 1e9).cast("long").as("score_e9"))),
+    // bulk MIXED atoms: bare terms and quoted phrases in the same single
+    // plan — terms ride the pruned scan, all phrases share one docId
+    // shuffle with the positional fold run doc-locally per phrase
+    "q34_bulk_mixed_search" -> ((s, dir) =>
+      transcriptEngine(s, dir).searchMany(bulkMixedQueries)
+        .select(col("query"), col("docId"), col("conv_id"), col("turn_idx"),
           round(col("score") * 1e9).cast("long").as("score_e9"))))
+
+  private val bulkMixedQueries: Seq[String] =
+    Seq("whale", "fish", "\"blue whale\"", "\"red fish\"")
 
   /** The q31 bulk query set with each bare term's token forms in this
     * corpus (raw bare-term lookup hits the stem key directly for these —
@@ -916,6 +926,9 @@ object SparkEntry {
     // bulk multi-query BM25: the q19 pipeline once per query term over ONE
     // shared tokenize CTE, UNION ALL'd with the query string attached
     "q31_bulk_term_search" -> bulkTermOracleSql,
+    // bulk mixed atoms: q19-style term blocks + q20-style phrase blocks
+    // (stale-postings fold included) over the same shared tokenize CTE
+    "q34_bulk_mixed_search" -> bulkMixedOracleSql,
     // PQ ADC: codebook (16 lowest vec_ids' normalized subvectors), codes
     // (per-subspace argmin, ties → lowest code), ADC shortlist-100 via an
     // explicit left-associated 8-lookup sum (the engine folds the same
@@ -926,37 +939,83 @@ object SparkEntry {
     // shortlist to the 4 probed cells
     "q33_ann_ivfpq_topk" -> ivfPqOracleSql)
 
+  /** Shared tokenize prefix + per-atom BM25/top-k blocks for the bulk
+    * oracles. `m_<id>` is atom-specific (tf per doc, tf > 0); the score
+    * tail (df, BM25 in the engine's IEEE order, max-normalize, 0.4/0.6
+    * single-operand fold, top-100) is identical for every atom shape. */
+  private def bulkPrefixSql: String =
+    """docs AS (
+      |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
+      |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+      |        t -> trim(t, '''-')), t -> t <> '') AS toks
+      |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+      |base AS (SELECT docId, conv_id, turn_idx, len(toks) AS doc_len, toks FROM docs),
+      |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM base)""".stripMargin
+
+  private def bulkTermBlockSql(id: String, forms: Seq[String]): String = {
+    val in = forms.map(f => s"'$f'").mkString(", ")
+    s"""m_$id AS (
+       |  SELECT * FROM (
+       |    SELECT docId, conv_id, turn_idx, doc_len,
+       |      len(list_filter(toks, t -> lower(t) IN ($in))) AS tf
+       |    FROM base) WHERE tf > 0)""".stripMargin
+  }
+
+  /** Two-word phrase tf with the reference's stale-postings fold
+    * (PhraseMatch.phraseTf; same CASE as the q20 oracle). */
+  private def bulkPhraseBlockSql(id: String, formsA: Seq[String], formsB: Seq[String]): String = {
+    val inA = formsA.map(f => s"'$f'").mkString(", ")
+    val inB = formsB.map(f => s"'$f'").mkString(", ")
+    s"""m_$id AS (
+       |  SELECT * FROM (
+       |    SELECT docId, conv_id, turn_idx, doc_len,
+       |      CASE WHEN len(ap) = 0 THEN 0
+       |           WHEN len(bp) = 0 THEN len(ap)
+       |           ELSE len(list_intersect(bp, list_transform(ap, q -> q + 1))) END AS tf
+       |    FROM (
+       |      SELECT docId, conv_id, turn_idx, doc_len,
+       |        list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ($inA) THEN i - 1 ELSE -1 END), p -> p >= 0) AS ap,
+       |        list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ($inB) THEN i - 1 ELSE -1 END), p -> p >= 0) AS bp
+       |      FROM base)) WHERE tf > 0)""".stripMargin
+  }
+
+  private def bulkScoreTailSql(id: String, queryLit: String): String =
+    s"""s_$id AS (
+       |  SELECT docId, conv_id, turn_idx,
+       |    ln(((n - df) + 0.5) / (df + 0.5) + 1.0)
+       |      * ((tf::DOUBLE * 2.5) / (tf::DOUBLE + 1.5 * (0.25 + 0.75 * (doc_len::DOUBLE / avgdl)))) AS s
+       |  FROM m_$id, st, (SELECT count(*)::DOUBLE AS df FROM m_$id)),
+       |t_$id AS (
+       |  SELECT '$queryLit' AS query, docId, conv_id, turn_idx,
+       |    CAST(round((0.4*(s/mx) + 0.6*(s/mx)) * 1000000000.0) AS BIGINT) AS score_e9
+       |  FROM s_$id, (SELECT max(s) AS mx FROM s_$id)
+       |  ORDER BY s DESC, docId ASC LIMIT 100)""".stripMargin
+
+  private def bulkUnionSql(blocks: Seq[String], ids: Seq[String]): String =
+    s"""WITH $bulkPrefixSql,
+       |${blocks.mkString(",\n")}
+       |${ids.map(id => s"SELECT * FROM t_$id").mkString(" UNION ALL ")}""".stripMargin
+
   /** q19's BM25 SQL per bulk query term, sharing one tokenize pass. */
-  private def bulkTermOracleSql: String = {
-    val perTerm = bulkTerms.map { case (q, forms) =>
-      val in = forms.map(f => s"'$f'").mkString(", ")
-      s"""m_$q AS (
-         |  SELECT * FROM (
-         |    SELECT docId, conv_id, turn_idx, doc_len,
-         |      len(list_filter(toks, t -> lower(t) IN ($in))) AS tf
-         |    FROM base) WHERE tf > 0),
-         |s_$q AS (
-         |  SELECT docId, conv_id, turn_idx,
-         |    ln(((n - df) + 0.5) / (df + 0.5) + 1.0)
-         |      * ((tf::DOUBLE * 2.5) / (tf::DOUBLE + 1.5 * (0.25 + 0.75 * (doc_len::DOUBLE / avgdl)))) AS s
-         |  FROM m_$q, st, (SELECT count(*)::DOUBLE AS df FROM m_$q)),
-         |t_$q AS (
-         |  SELECT '$q' AS query, docId, conv_id, turn_idx,
-         |    CAST(round((0.4*(s/mx) + 0.6*(s/mx)) * 1000000000.0) AS BIGINT) AS score_e9
-         |  FROM s_$q, (SELECT max(s) AS mx FROM s_$q)
-         |  ORDER BY s DESC, docId ASC LIMIT 100)""".stripMargin
-    }.mkString(",\n")
-    val unions = bulkTerms.map { case (q, _) => s"SELECT * FROM t_$q" }
-      .mkString(" UNION ALL ")
-    s"""WITH docs AS (
-       |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
-       |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
-       |        t -> trim(t, '''-')), t -> t <> '') AS toks
-       |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
-       |base AS (SELECT docId, conv_id, turn_idx, len(toks) AS doc_len, toks FROM docs),
-       |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM base),
-       |$perTerm
-       |$unions""".stripMargin
+  private def bulkTermOracleSql: String =
+    bulkUnionSql(
+      bulkTerms.map { case (q, forms) =>
+        bulkTermBlockSql(q, forms) + ",\n" + bulkScoreTailSql(q, q)
+      },
+      bulkTerms.map(_._1))
+
+  /** q34: term atoms + two-word phrase atoms in one UNION. */
+  private def bulkMixedOracleSql: String = {
+    val blocks = Seq(
+      bulkTermBlockSql("whale", Seq("whale", "whales")) + ",\n" +
+        bulkScoreTailSql("whale", "whale"),
+      bulkTermBlockSql("fish", Seq("fish", "fishes")) + ",\n" +
+        bulkScoreTailSql("fish", "fish"),
+      bulkPhraseBlockSql("p1", Seq("blue"), Seq("whale", "whales")) + ",\n" +
+        bulkScoreTailSql("p1", "\"blue whale\""),
+      bulkPhraseBlockSql("p2", Seq("red"), Seq("fish", "fishes")) + ",\n" +
+        bulkScoreTailSql("p2", "\"red fish\""))
+    bulkUnionSql(blocks, Seq("whale", "fish", "p1", "p2"))
   }
 
   /** Shared PQ CTEs (m=8 subspaces of 8 dims, nCodes=16): normalized

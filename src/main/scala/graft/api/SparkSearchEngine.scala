@@ -411,23 +411,23 @@ final class SparkSearchEngine(
   /** Bulk multi-query scoring: the top-k of MANY bare-term queries in one
     * distributed plan. The single-query paths cost ≥ one Spark job each —
     * fine interactively, but a training-data pipeline re-scoring thousands
-    * of filter queries pays that scheduling overhead per query. Here every
-    * queried term's postings are read in ONE term-pruned scan; per-term
-    * (df, max tf-part) come from one map-side-combined aggregation (never a
-    * whole posting list on one reducer); and the per-query top-k is a
-    * SALTED two-phase window — partial top-k per (term, salt), then final
-    * top-k over ≤ salts·k survivors — so a stop-word term with 10^9
-    * postings still never concentrates on a single partition.
+    * of filter queries pays that scheduling overhead per query. Every
+    * term runs the block-max WAND kernel inside ONE pruned scan of the
+    * compressed blocks table (termAtomFrame — pruning, not just batching:
+    * full-scoring head terms measured slower than per-query WAND), and
+    * the per-query top-k is a SALTED two-phase window — partial top-k per
+    * (query, salt), then final top-k over ≤ salts·k survivors — so a
+    * stop-word term with 10^9 postings still never concentrates on a
+    * single partition.
     *
-    * Scores are bit-identical to the single-query paths (the normalization
-    * max idf·max(tfPart) multiplies the same two doubles as the top-1 raw
-    * score, and idf > 0 always): asserted against WAND in EngineSpec.
-    * Semantics: per query, the top-k MATCHING docs (score desc, docId asc)
-    * after the accuracy filter. The single-query paths' dense zero-fill of
-    * sub-k result sets (a reference presentation quirk) is deliberately
-    * not replicated — absent docs score 0 and a bulk filtering pipeline
-    * wants matches, not padding; with accuracy > 0 the single-query paths
-    * agree exactly.
+    * Scores are bit-identical to the single-query paths (same WAND
+    * kernel, same IEEE order everywhere after it): asserted against WAND
+    * in EngineSpec. Semantics: per query, the top-k MATCHING docs (score
+    * desc, docId asc) after the accuracy filter. The single-query paths'
+    * dense zero-fill of sub-k result sets (a reference presentation
+    * quirk) is deliberately not replicated — absent docs score 0 and a
+    * bulk filtering pipeline wants matches, not padding; with
+    * accuracy > 0 the single-query paths agree exactly.
     *
     * @return (query, docId, conv_id, turn_idx, score), k rows max per query
     */
@@ -438,40 +438,131 @@ final class SparkSearchEngine(
     require(queries.nonEmpty, "searchManyTerms needs at least one query")
     val keyed = queries.distinct
       .map(q => (q, if (params.stemBareTerms) TextPipeline.term(q) else q))
-    val qdf = spark.createDataset(keyed).toDF("query", "term")
+    bulkTopK(termAtomFrame(keyed, k), k, accuracy)
+  }
+
+  /** Bulk scoring for single-ATOM queries of either shape — a bare term
+    * OR a quoted phrase — in the same one-plan pipeline as
+    * `searchManyTerms`. Terms ride the pruned postings scan; all phrases
+    * share ONE docId shuffle (the union of their stems' postings grouped
+    * per doc) with the positional fold evaluated doc-locally for every
+    * phrase at once. Per-query results are bit-identical to the
+    * single-query evaluator (q20's single-phrase fold is
+    * tfw·normalize(x) + emw·x with x already max-normalized — the same
+    * combine as a bare term, no PHRASE_BOOST outside mixed queries). */
+  def searchMany(
+      queries: Seq[String],
+      k: Int = params.topK,
+      accuracy: Double = 0.0): DataFrame = {
+    require(queries.nonEmpty, "searchMany needs at least one query")
+    val atoms = queries.distinct.map { q =>
+      QueryLexer.lex(q) match {
+        case Vector(QueryLexer.QTerm(t)) =>
+          q -> Left(if (params.stemBareTerms) TextPipeline.term(t) else t)
+        case Vector(QueryLexer.QPhrase(p)) =>
+          q -> Right(TextPipeline.tokenizeQuery(p))
+        case _ => sys.error(
+          s"searchMany supports single-atom queries (bare term or quoted phrase); " +
+            s"route '$q' through searchFrame/topKAuto")
+      }
+    }
+    val termAtoms = atoms.collect { case (q, Left(t)) => (q, t) }
+    val phraseAtoms = atoms.collect { case (q, Right(st)) if st.nonEmpty => (q, st) }
+    val frames =
+      (if (termAtoms.nonEmpty) Seq(termAtomFrame(termAtoms, k)) else Nil) ++
+        (if (phraseAtoms.nonEmpty) Seq(phraseAtomFrame(phraseAtoms)) else Nil)
+    require(frames.nonEmpty, "no evaluable atoms (all phrases tokenized to nothing)")
+    bulkTopK(frames.reduce(_ union _), k, accuracy)
+  }
+
+  /** (query, docId, s = raw BM25) candidates for bare-term atoms — the
+    * WAND kernel fanned over every term in ONE job: a pruned scan of the
+    * compressed BLOCKS table (never the flat postings), per-partition
+    * block-max pruned top-k per term, ≤ partitions·k candidate rows out.
+    * At head terms this skips exactly the block decodes the single-query
+    * WAND path skips (full-scoring 64 head terms at 10M docs measured
+    * SLOWER than 64 WAND round-trips — pruning, not just batching, is
+    * what scales). Per-term df comes from the block metadata in one
+    * batched aggregate, like termTopKWand's per-term lookup. */
+  private def termAtomFrame(keyed: Seq[(String, String)], k: Int): DataFrame = {
     val keys = keyed.map(_._2).distinct
-    // one pruned scan shape, read twice (stats pass + scoring pass); both
-    // reads reach parquet with the term filter pushed down
-    val rows = postings.filter($"term".isin(keys: _*))
-      .select($"term", $"docId", tfPartCol($"tf", $"doc_len").as("f"))
-    val perTerm = rows.groupBy($"term").agg(
-      count(lit(1)).cast("double").as("df_count"),
-      max($"f").as("fmax"))
+    val blocks = io.read(Tables.Blocks).filter($"term".isin(keys: _*))
+    val n = stats.total_docs.toDouble
+    val idfByTerm = blocks.groupBy($"term").agg(sum($"n_docs").as("df"))
+      .as[(String, Long)].collect()
+      .map { case (t, df) =>
+        t -> StrictMath.log(((n - df) + 0.5) / (df + 0.5) + 1.0)
+      }.toMap
+    val p = params; val st = stats
+    val bIdf = spark.sparkContext.broadcast(idfByTerm)
+    val qdf = spark.createDataset(keyed).toDF("query", "term")
+    blocks.as[graft.model.IndexBlock]
+      .mapPartitions(it => Wand.topKForPartitionMulti(it, bIdf.value, k, p, st))
+      .toDF("term", "docId", "s")
+      .join(broadcast(qdf), Seq("term"))
+      .select($"query", $"docId", $"s")
+  }
+
+  /** (query, docId, s = raw BM25) for phrase atoms: ONE shuffle on docId
+    * over the union of all phrases' stems, then every phrase's positional
+    * fold (stale-postings quirk included) runs doc-locally in one pass;
+    * per-query df is a map-side-combined aggregate. No block-max bound
+    * exists for phrase tf, so phrases score exhaustively (as the
+    * single-query path does). */
+  private def phraseAtomFrame(phraseAtoms: Seq[(String, Vector[String])]): DataFrame = {
+    val allStems = phraseAtoms.flatMap(_._2).distinct
+    val perDoc = postings
+      .filter($"term".isin(allStems: _*))
+      .select($"docId", $"doc_len", $"term", $"positions_vb")
+      .groupBy($"docId")
+      .agg(first($"doc_len").as("doc_len"),
+        collect_list(struct($"term", $"positions_vb")).as("tp"))
+      .as[(Long, Int, Seq[(String, Array[Byte])])]
+    val bAtoms = spark.sparkContext.broadcast(phraseAtoms)
+    val fF = perDoc.flatMap { case (docId, dl, tp) =>
+      val termPos = tp.iterator.map { case (t, vb) =>
+        t -> graft.codec.VarByte.decodePositions(vb).toSeq
+      }.toMap
+      bAtoms.value.iterator.flatMap { case (q, stems) =>
+        val tf = PhraseMatch.phraseTf(stems, termPos)
+        if (tf > 0) Iterator.single((q, docId, tf, dl)) else Iterator.empty
+      }
+    }.toDF("query", "docId", "tf", "doc_len")
+      .select($"query", $"docId", tfPartCol($"tf", $"doc_len").as("f"))
+    val perQuery = fF.groupBy($"query")
+      .agg(count(lit(1)).cast("double").as("df_count"))
+    fF.join(broadcast(perQuery), Seq("query"))
+      .select($"query", $"docId", (idfCol($"df_count") * $"f").as("s"))
+  }
+
+  /** Shared bulk tail over raw (query, docId, s): per-query max in one
+    * map-side-combined agg (for term atoms the true max is always among
+    * the WAND candidates — it IS the top-1 score), max-normalize,
+    * single-operand stack combine, SALTED two-phase per-query top-k,
+    * dict attach. */
+  private def bulkTopK(atomF: DataFrame, k: Int, accuracy: Double): DataFrame = {
+    val perQuery = atomF.groupBy($"query").agg(max($"s").as("mx"))
     val tfw = params.termFrequencyWeight; val emw = params.exactMatchWeight
-    val scored = rows.join(broadcast(perTerm), Seq("term"))
-      .select($"term", $"docId",
-        (idfCol($"df_count") * $"f").as("s"),
-        (idfCol($"df_count") * $"fmax").as("mx"))
-      .select($"term", $"docId",
+    val scored = atomF.join(broadcast(perQuery), Seq("query"))
+      .select($"query", $"docId",
         when($"mx" > 0, $"s" / $"mx").otherwise($"s").as("norm"))
-      .select($"term", $"docId",
+      .select($"query", $"docId",
         (lit(tfw) * $"norm" + lit(emw) * $"norm").as("score"))
       .filter($"score" >= accuracy)
     val salts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"term", $"salt").orderBy($"score".desc, $"docId".asc)
+      .partitionBy($"query", $"salt").orderBy($"score".desc, $"docId".asc)
     val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy($"term").orderBy($"score".desc, $"docId".asc)
+      .partitionBy($"query").orderBy($"score".desc, $"docId".asc)
     val top = scored
       .withColumn("salt", pmod(hash($"docId"), lit(salts)))
       .withColumn("rn", row_number().over(w1)).filter($"rn" <= k)
       .withColumn("rn2", row_number().over(w2)).filter($"rn2" <= k)
-      .select($"term", $"docId", $"score")
-    // inner joins: the dict is complete by the row-level build invariant,
+      .select($"query", $"docId", $"score")
+    // inner join: the dict is complete by the row-level build invariant,
     // and inner lets Spark broadcast the (N·k-row) result side instead of
     // shuffling the corpus-sized dictionary
-    top.join(broadcast(qdf), Seq("term"))
-      .join(dict, Seq("docId"))
+    top.join(dict, Seq("docId"))
       .select($"query", $"docId", $"conv_id", $"turn_idx", $"score")
   }
 

@@ -68,4 +68,19 @@ object Wand {
     * ((score desc, docId asc) order). */
   def mergeTopK(candidates: Seq[(Long, Double)], k: Int): Vector[(Long, Double)] =
     candidates.sortBy { case (d, s) => (-s, d) }.take(k).toVector
+
+  /** Multi-term variant for the bulk path: one partition may hold blocks
+    * of MANY queried terms — run the same pruned kernel per term and tag
+    * candidates with it. Per-term results are identical to running
+    * topKForPartition on that term's blocks alone. */
+  def topKForPartitionMulti(
+      blocks: Iterator[IndexBlock],
+      idfByTerm: collection.Map[String, Double],
+      k: Int,
+      params: GraftParams,
+      stats: IndexStats): Iterator[(String, Long, Double)] =
+    blocks.toArray.groupBy(_.term).iterator.flatMap { case (term, bs) =>
+      topKForPartition(bs.iterator, idfByTerm(term), k, params, stats)
+        .map { case (d, s) => (term, d, s) }
+    }
 }

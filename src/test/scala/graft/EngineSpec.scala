@@ -181,11 +181,34 @@ class EngineSpec extends AnyFunSuite {
     }
     // a missing term yields no rows, not an error
     assert(!bulk.contains("zzzunknown"))
-    // the scoring scan prunes to the queried terms (pushed-down In filter)
+    // the scan prunes to the queried terms (pushed-down In filter) and
+    // reads the compressed BLOCKS table (WAND kernel), not flat postings
     val plan = engine.searchManyTerms(Seq("whale", "blue"), k = 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(term, [blue,whale])"),
       s"term In-filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("index_blocks") && !plan.contains("/postings]"),
+      s"bulk term scoring must read the block index, not flat postings:\n$plan")
+  }
+
+  test("bulk mixed search (terms + phrases) is bit-identical to the single-query paths") {
+    val (io, _) = built
+    import spark.implicits._
+    val engine = new SparkSearchEngine(spark, io)
+    val qs = Seq("whale", "\"blue whale\"", "\"red fish\"", "blue", "\"zzz nothing\"")
+    val bulk = engine.searchMany(qs, k = 50)
+      .select("query", "docId", "score").as[(String, Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).sortBy { case (d, s) => (-s, d) }.toVector
+      }
+    val tiny = Double.MinPositiveValue // accuracy > 0: no dense zero-fill
+    qs.foreach { q =>
+      val single = engine.topKAuto(q, tiny, 50)
+      assert(bulk.getOrElse(q, Vector.empty) == single, s"query '$q'")
+    }
+    // non-atomic queries are rejected, not silently mis-scored
+    intercept[RuntimeException](engine.searchMany(Seq("whale AND blue")))
   }
 
   test("row-level invariant: per-turn text equality via the dictionary") {
