@@ -215,6 +215,12 @@ object SparkEntry {
     "q33_ann_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopKIndexed(s, ivfPqIndex(s, dir), s.read.parquet(t(dir, "embeddings")),
         queryEmbedding(s, dir, 0L), queryId = 0L, k = 20)),
+    // bulk ANN: M query vectors share ONE ADC scan of the codes table
+    // (per-partition per-query heaps, the WAND-multi shape), then one
+    // broadcast-join exact re-rank for all shortlists
+    "q35_ann_pq_bulk" -> ((s, dir) =>
+      Similarity.pqTopKManyIndexed(s, pqIndex(s, dir), s.read.parquet(t(dir, "embeddings")),
+        Seq(0L, 1L).map(id => id -> queryEmbedding(s, dir, id)), k = 20)),
 
     // ---- multimodal plumbing (decode stubbed, see Multimodal) ---------
     // array columns are digested to md5(to_json(...)) for the contract
@@ -937,7 +943,38 @@ object SparkEntry {
     "q32_ann_pq_topk" -> pqOracleSql,
     // IVF-PQ: the q27 cell assignment + probe CTEs restrict the q32 ADC
     // shortlist to the 4 probed cells
-    "q33_ann_ivfpq_topk" -> ivfPqOracleSql)
+    "q33_ann_ivfpq_topk" -> ivfPqOracleSql,
+    // bulk ANN: the q32 pipeline once per query vector over the SAME
+    // codes/codebook CTEs, UNION ALL'd with the query id attached
+    "q35_ann_pq_bulk" -> pqBulkOracleSql(Seq(0L, 1L)))
+
+  /** q35: the q32 shortlist + re-rank per query id, shared base CTEs. */
+  private def pqBulkOracleSql(qids: Seq[Long]): String = {
+    val blocks = qids.map { qid =>
+      val sfx = s"_$qid"
+      s"""${pqQueryCtes(qid, sfx)},
+         |short$sfx AS (
+         |  SELECT vec_id, ${pqAdcChainSfx(sfx)} AS adc FROM cvec, lutl$sfx
+         |  WHERE vec_id <> $qid
+         |  ORDER BY adc ASC, vec_id ASC LIMIT 100),
+         |qe$sfx AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = $qid),
+         |t$sfx AS (
+         |  SELECT $qid AS query_id, e.vec_id,
+         |    list_dot_product(e.embedding::DOUBLE[], qemb::DOUBLE[]) /
+         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[]))) AS cosine
+         |  FROM embeddings e JOIN short$sfx USING (vec_id), qe$sfx
+         |  ORDER BY cosine DESC, e.vec_id ASC LIMIT 20)""".stripMargin
+    }
+    s"""WITH $pqBaseCtes,
+       |${blocks.mkString(",\n")}
+       |${qids.map(q => s"SELECT * FROM t_$q").mkString(" UNION ALL ")}""".stripMargin
+  }
+
+  /** The ADC 8-lookup chain against a suffixed lutl CTE. */
+  private def pqAdcChainSfx(sfx: String): String = (0 until PqM)
+    .map(j => s"lutl$sfx.l[${j * PqCodes} + cl[${j + 1}] + 1]")
+    .mkString("0.0 + ", " + ", "")
 
   /** Shared tokenize prefix + per-atom BM25/top-k blocks for the bulk
     * oracles. `m_<id>` is atom-specific (tf per doc, tf > 0); the score
@@ -1026,7 +1063,7 @@ object SparkEntry {
   private def pqAdcChain: String = (0 until PqM)
     .map(j => s"l[${j * PqCodes} + cl[${j + 1}] + 1]")
     .mkString("0.0 + ", " + ", "")
-  private def pqCtes: String =
+  private def pqBaseCtes: String =
     s"""ne AS (
        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
        |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
@@ -1045,15 +1082,22 @@ object SparkEntry {
        |          list_transform(list_zip(n.nv[b.j*8+1 : b.j*8+8], b.sub), z -> z[1] - z[2])) ASC,
        |        b.code ASC) AS rn
        |    FROM ne n CROSS JOIN book b) WHERE rn = 1),
-       |qn AS (SELECT nv AS qnv FROM ne WHERE vec_id = 0),
-       |lut AS (
+       |cvec AS (SELECT vec_id, list(code ORDER BY j) AS cl FROM enc GROUP BY vec_id)""".stripMargin
+
+  /** Per-query ADC CTEs (suffix-named so several queries can coexist). */
+  private def pqQueryCtes(qid: Long, sfx: String): String =
+    s"""qn$sfx AS (SELECT nv AS qnv FROM ne WHERE vec_id = $qid),
+       |lut$sfx AS (
        |  SELECT b.j, b.code,
        |    list_dot_product(
        |      list_transform(list_zip(qnv[b.j*8+1 : b.j*8+8], b.sub), z -> z[1] - z[2]),
        |      list_transform(list_zip(qnv[b.j*8+1 : b.j*8+8], b.sub), z -> z[1] - z[2])) AS v
-       |  FROM book b, qn),
-       |lutl AS (SELECT list(v ORDER BY j * $PqCodes + code) AS l FROM lut),
-       |cvec AS (SELECT vec_id, list(code ORDER BY j) AS cl FROM enc GROUP BY vec_id)""".stripMargin
+       |  FROM book b, qn$sfx),
+       |lutl$sfx AS (SELECT list(v ORDER BY j * $PqCodes + code) AS l FROM lut$sfx)""".stripMargin
+
+  private def pqCtes: String =
+    s"""$pqBaseCtes,
+       |${pqQueryCtes(0L, "")}""".stripMargin
 
   /** Exact-cosine re-rank of a `short(vec_id)` CTE. */
   private def pqRerankSql: String =

@@ -512,6 +512,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** Bulk ANN: top-k for MANY query vectors in ONE ADC scan of the codes
+    * table (the searchMany story for similarity search — deduping a batch
+    * of new documents against the corpus pays one scan, not M). Each
+    * partition keeps a `shortlist`-heap per query over the same code rows
+    * (the Wand.topKForPartitionMulti shape); the merged per-query
+    * shortlist is exact (top-L of the per-partition top-Ls IS the global
+    * top-L), then one broadcast join re-ranks every shortlist with exact
+    * cosine. Per-query results are identical to `pqTopKIndexed`. */
+  def pqTopKManyIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      embeddings: DataFrame,
+      queries: Seq[(Long, Seq[Float])], // (query vec_id — excluded from results, vector)
+      k: Int,
+      shortlist: Int = 100): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "pqTopKManyIndexed needs at least one query")
+    val book = readPqCodebook(spark, indexPath)
+    val m = book.length
+    val nCodes = book(0).length
+    val luts: Array[(Long, Array[Double])] = queries.map { case (qid, v) =>
+      val qn = l2normalize(v)
+      val subDim = qn.length / m
+      val lut = new Array[Double](m * nCodes)
+      for (j <- 0 until m; c <- 0 until nCodes) lut(j * nCodes + c) = sqDist(qn, j * subDim, book(j)(c))
+      (qid, lut)
+    }.toArray
+    val bLuts = spark.sparkContext.broadcast(luts)
+    val sl = shortlist
+    val nc = nCodes
+    val cands = spark.read.parquet(s"$indexPath/codes")
+      .select("vec_id", "codes").as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val qs = bLuts.value
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        // natural max-heap: head = worst candidate (largest adc, then id)
+        val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (vecId, codes) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, lut) = qs(qi)
+            if (vecId != qid) {
+              // 0.0 + x_0 + … left fold — the single-query ADC order
+              var adc = 0.0; var j = 0
+              while (j < codes.length) { adc += lut(j * nc + codes(j)); j += 1 }
+              val h = heaps(qi)
+              if (h.size < sl) h.enqueue((adc, vecId))
+              else if (ord.lt((adc, vecId), h.head)) { h.dequeue(); h.enqueue((adc, vecId)) }
+            }
+            qi += 1
+          }
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+          heaps(qi).iterator.map { case (adc, id) => (qid, id, adc) }
+        }
+      }.toDF("query_id", "vec_id", "adc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    val short = cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sl).select("query_id", "vec_id")
+    val qVecs = spark.createDataset(
+        queries.map { case (qid, v) => (qid, v.map(_.toDouble)) })
+      .toDF("query_id", "qvec")
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    embeddings.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cosine"))
+      .withColumn("rn", row_number().over(wK)).filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cosine")
+  }
+
   // -------------------------------------------------------------- IVF-PQ --
 
   /** IVF-PQ: the two prunings composed. The PQ codes table is written

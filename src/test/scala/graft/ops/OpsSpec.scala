@@ -235,6 +235,26 @@ class OpsSpec extends AnyFunSuite {
       s"expected partition filters on cell in:\n$plan")
   }
 
+  test("bulk PQ ANN: one ADC scan for M queries, per-query identical to the single path") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("pq_bulk").toString
+    Similarity.buildPqIndex(spark, emb, idx, m = 8, nCodes = 16)
+    val qids = Seq(0L, 7L, 123L)
+    val qs = qids.map(id => id -> clusteredVecs.find(_._1 == id).get._2)
+    val bulk = Similarity.pqTopKManyIndexed(spark, idx, emb, qs, k = 10, shortlist = 60)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).sortBy { case (id, c) => (-c, id) }.toVector
+      }
+    qs.foreach { case (qid, v) =>
+      val single = Similarity.pqTopKIndexed(spark, idx, emb, v, qid, 10, shortlist = 60)
+        .as[(Long, Double)].collect().toVector
+      assert(bulk.getOrElse(qid, Vector.empty) == single, s"query $qid")
+    }
+  }
+
   test("PQ ANN: Lloyd's-trained codebook keeps recall at the same shortlist") {
     import spark.implicits._
     val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
