@@ -566,6 +566,32 @@ final class SparkSearchEngine(
       .select($"query", $"docId", $"conv_id", $"turn_idx", $"score")
   }
 
+  /** Bulk search with snippets over the source turns table: the bulk
+    * top-k joined to turns, each query's snippet keys/weights broadcast,
+    * and the snippet computed ON THE EXECUTORS per hit (the single-query
+    * `search` snippets its few hits on the driver; N·k bulk hits stay
+    * distributed). */
+  def searchManyWithSnippets(
+      queries: Seq[String],
+      turns: DataFrame,
+      k: Int = params.topK,
+      accuracy: Double = 0.0): DataFrame = {
+    val meta = queries.distinct.map { q =>
+      q -> ((Snippeter.queryKeys(q, params.stemBareTerms),
+        QueryEvaluator.wordsAndPhrasesWeights(q)))
+    }.toMap
+    val bMeta = spark.sparkContext.broadcast(meta)
+    searchMany(queries, k, accuracy)
+      .join(turns.select($"conv_id", $"turn_idx", $"text"), Seq("conv_id", "turn_idx"))
+      .select($"query", $"docId", $"conv_id", $"turn_idx", $"score", $"text")
+      .as[(String, Long, String, Int, Double, String)]
+      .map { case (q, d, c, t, s, text) =>
+        val (keys, weights) = bMeta.value(q)
+        (q, d, c, t, s, text, Snippeter.snippet(text, keys, weights))
+      }
+      .toDF("query", "docId", "conv_id", "turn_idx", "score", "text", "snippet")
+  }
+
   /** DataFrame variant for the driver harness (SparkEntry). */
   def searchFrame(query: String, accuracy: Double = 0.0, k: Int = 100): DataFrame = {
     val top = topKAuto(query, accuracy, k)

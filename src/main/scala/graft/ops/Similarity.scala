@@ -127,6 +127,25 @@ object Similarity {
     planes
   }
 
+  /** Incremental LSH growth: bucket a NEW disjoint batch with the
+    * EXISTING hyperplanes (persisted meta), appended into the same part
+    * partitions — probes see the union on their next read. */
+  def appendLshAssignments(spark: SparkSession, newEmbeddings: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    val (planes, dims, seed) =
+      spark.read.parquet(metaPath(path)).as[(Int, Int, Long)].head()
+    val shift = partShift(planes)
+    val hyper = DetHash.signPlanes(planes, dims, seed)
+    val bHyper = spark.sparkContext.broadcast(hyper)
+    newEmbeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val b = hyperplaneSig(v, bHyper.value)
+        (id, v, b, b >>> shift)
+      }
+      .toDF("vec_id", "embedding", "bucket", "part")
+      .write.mode("append").partitionBy("part").parquet(s"$path/assignments")
+  }
+
   /** Top-k over a persisted LSH index: reads ONLY the partitions covering
     * the query's hamming-≤probeHamming bucket ball (a `PartitionFilters`-
     * pruned scan), scores with the codegen'd cosine, TakeOrderedAndProject. */
@@ -213,7 +232,16 @@ object Similarity {
   }
 
   /** Assignment pass against an existing `path/centroids` codebook. */
-  def buildIvfAssignments(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
+  def buildIvfAssignments(spark: SparkSession, embeddings: DataFrame, path: String): Unit =
+    writeIvfAssignments(spark, embeddings, path, overwrite = true)
+
+  /** Incremental IVF growth: assign a NEW disjoint batch with the
+    * EXISTING codebook, appended into the same cell partitions. */
+  def appendIvfAssignments(spark: SparkSession, newEmbeddings: DataFrame, path: String): Unit =
+    writeIvfAssignments(spark, newEmbeddings, path, overwrite = false)
+
+  private def writeIvfAssignments(
+      spark: SparkSession, embeddings: DataFrame, path: String, overwrite: Boolean): Unit = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
       .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2)
@@ -230,7 +258,8 @@ object Similarity {
         (id, v, best)
       }
       .toDF("vec_id", "embedding", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell").parquet(s"$path/assignments")
   }
 
   private def cosineFD(v: Seq[Float], c: Array[Double]): Double = {
@@ -400,14 +429,26 @@ object Similarity {
 
   /** Encode pass against an existing `path/codebook` (broadcast map-only;
     * the codes table is the persisted index the ADC scan reads). */
-  def buildPqCodes(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
+  def buildPqCodes(spark: SparkSession, embeddings: DataFrame, path: String): Unit =
+    writePqCodes(spark, embeddings, path, overwrite = true)
+
+  /** Incremental index growth: encode a NEW batch of vectors with the
+    * EXISTING codebook and append its codes — queries see the union on
+    * their next scan, codebook/LUTs unchanged. Batches must carry fresh
+    * vec_ids (the same disjoint-segment contract as the text index's
+    * incremental appends). */
+  def appendPqCodes(spark: SparkSession, newEmbeddings: DataFrame, path: String): Unit =
+    writePqCodes(spark, newEmbeddings, path, overwrite = false)
+
+  private def writePqCodes(
+      spark: SparkSession, embeddings: DataFrame, path: String, overwrite: Boolean): Unit = {
     import spark.implicits._
     val book = readPqCodebook(spark, path)
     val b = spark.sparkContext.broadcast(book)
     embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
       .map { case (id, v) => (id, pqEncode(l2normalize(v), b.value).toSeq) }
       .toDF("vec_id", "codes")
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(s"$path/codes")
   }
 
   /** One-time PQ index build with the deterministic init codebook. */

@@ -15,6 +15,8 @@ import graft.util.Cancellation
   *
   *   GET    /                       API documentation
   *   GET    /search?query&accuracy  top-k hits as [{title,content,url,score}]
+  *   GET    /searchMany?queries&accuracy  (beyond parity) N queries, ONE plan →
+  *                                  {"query":[hits]} per query
   *   PUT    /setThreadsNumber       {numberOfThreads} → spark.sql.shuffle.partitions
   *                                  (the scheduler's parallelism knob; executor
   *                                  count is fixed at submit time on a cluster)
@@ -149,9 +151,37 @@ final class SearchEngineServer(
     }.mkString("[", ",", "]")
   }
 
+  /** Bulk hits as {"<query>":[{title,content,url,score},...],...} — the
+    * per-hit shape of /search, grouped by query. */
+  private def searchManyJson(queries: Seq[String], accuracy: Double): String = {
+    val rows: Seq[(String, Long, String, Int, Double, String)] = inputPath match {
+      case Some(p) =>
+        engine.searchManyWithSnippets(queries, spark.read.parquet(p), params.topK, accuracy)
+          .select($"query", $"docId", $"conv_id", $"turn_idx", $"score", $"snippet")
+          .as[(String, Long, String, Int, Double, String)].collect().toSeq
+      case None =>
+        engine.searchMany(queries, params.topK, accuracy)
+          .as[(String, Long, String, Int, Double)].collect().toSeq
+          .map { case (q, d, c, t, s) => (q, d, c, t, s, "") }
+    }
+    val byQuery = rows.groupBy(_._1)
+    queries.distinct.map { q =>
+      val hits = byQuery.getOrElse(q, Seq.empty)
+        .sortBy { case (_, d, _, _, s, _) => (-s, d) }
+        .map { case (_, _, c, t, s, snip) =>
+          s"""{"title":"${jsonEscape(s"$c#$t")}",""" +
+            s""""content":"${jsonEscape(snip)}",""" +
+            s""""url":"${jsonEscape(s"graft://$c/$t")}",""" +
+            s""""score":$s}"""
+        }.mkString("[", ",", "]")
+      s""""${jsonEscape(q)}":$hits"""
+    }.mkString("{", ",", "}")
+  }
+
   private val docText =
-    """graft search engine API (reference-parity routes):
-      |GET /search?query=Q&accuracy=A | PUT /setThreadsNumber {"numberOfThreads":N}
+    """graft search engine API (reference-parity routes + /searchMany):
+      |GET /search?query=Q&accuracy=A | GET /searchMany?queries=Q1,Q2,...&accuracy=A
+      |PUT /setThreadsNumber {"numberOfThreads":N}
       |POST /crawl {"seedUrls":["path.parquet"],"numberOfPages":N}
       |PUT /crawl_terminate {"clearDocumentsHistory":0|1}
       |POST /indexDocuments {"clear":0|1} | POST /crawlAndIndexDocument {...}
@@ -177,6 +207,21 @@ final class SearchEngineServer(
           try (200, searchJson(q, a.toDouble))
           catch { case e: Throwable => (404, String.valueOf(e.getMessage)) }
         case _ => (404, "query and accuracy are required")
+      }
+    })
+
+    // beyond reference parity: the bulk path — N single-atom queries
+    // (comma-separated; quoted phrases allowed) in ONE distributed plan
+    server.createContext("/searchMany", handler("GET") { ex =>
+      val ps = queryParams(ex)
+      (ps.get("queries"), ps.get("accuracy")) match {
+        case (Some(qs), Some(a)) =>
+          val list = qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          if (list.isEmpty) (404, "queries must be a non-empty comma-separated list")
+          else
+            try (200, searchManyJson(list, a.toDouble))
+            catch { case e: Throwable => (404, String.valueOf(e.getMessage)) }
+        case _ => (404, "queries and accuracy are required")
       }
     })
 

@@ -211,6 +211,27 @@ class EngineSpec extends AnyFunSuite {
     intercept[RuntimeException](engine.searchMany(Seq("whale AND blue")))
   }
 
+  test("bulk snippets equal the single-query search snippets") {
+    val (io, _) = built
+    import spark.implicits._
+    val engine = new SparkSearchEngine(spark, io)
+    val turns = TranscriptGen.generate(spark, Convs).toDF()
+    val tiny = Double.MinPositiveValue
+    val qs = Seq("whale", "\"blue whale\"")
+    val bulk = engine.searchManyWithSnippets(qs, turns, k = 20, accuracy = tiny)
+      .select("query", "docId", "score", "snippet")
+      .as[(String, Long, Double, String)].collect()
+      .groupBy(_._1)
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3, r._4)).sortBy(x => (-x._2, x._1)).toVector
+      }
+    qs.foreach { q =>
+      val single = engine.search(q, turns, tiny).take(20)
+        .map(h => (h.docId, h.score, h.snippet)).toVector
+      assert(bulk.getOrElse(q, Vector.empty) == single, q)
+    }
+  }
+
   test("row-level invariant: per-turn text equality via the dictionary") {
     val (io, _) = built
     import spark.implicits._

@@ -255,6 +255,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ANN appends: build-half + append-half ≡ build-all (PQ, IVF, LSH)") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val first = emb.filter($"vec_id" < 200)
+    val second = emb.filter($"vec_id" >= 200)
+    val q = clusteredVecs.find(_._1 == 0L).get._2
+
+    val pqInc = java.nio.file.Files.createTempDirectory("pq_inc").toString
+    val pqAll = java.nio.file.Files.createTempDirectory("pq_all").toString
+    Similarity.buildPqIndex(spark, first, pqInc) // codebook = 16 lowest (in first half)
+    Similarity.appendPqCodes(spark, second, pqInc)
+    Similarity.buildPqIndex(spark, emb, pqAll)
+    assert(
+      Similarity.pqTopKIndexed(spark, pqInc, emb, q, 0L, 10).as[(Long, Double)].collect().toSeq ==
+        Similarity.pqTopKIndexed(spark, pqAll, emb, q, 0L, 10).as[(Long, Double)].collect().toSeq)
+
+    val ivfInc = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val ivfAll = java.nio.file.Files.createTempDirectory("ivf_all").toString
+    Similarity.buildIvfIndex(spark, first, ivfInc)
+    Similarity.appendIvfAssignments(spark, second, ivfInc)
+    Similarity.buildIvfIndex(spark, emb, ivfAll)
+    assert(
+      Similarity.ivfTopKIndexed(spark, ivfInc, q, 0L, 10).as[(Long, Double)].collect().toSeq ==
+        Similarity.ivfTopKIndexed(spark, ivfAll, q, 0L, 10).as[(Long, Double)].collect().toSeq)
+
+    // LSH planes adapt to corpus size, so pin them for the comparison
+    val lshInc = java.nio.file.Files.createTempDirectory("lsh_inc").toString
+    val lshAll = java.nio.file.Files.createTempDirectory("lsh_all").toString
+    Similarity.buildLshIndex(spark, first, lshInc, planesOpt = Some(3))
+    Similarity.appendLshAssignments(spark, second, lshInc)
+    Similarity.buildLshIndex(spark, emb, lshAll, planesOpt = Some(3))
+    assert(
+      Similarity.lshTopKIndexed(spark, lshInc, q, 0L, 10).as[(Long, Double)].collect().toSeq ==
+        Similarity.lshTopKIndexed(spark, lshAll, q, 0L, 10).as[(Long, Double)].collect().toSeq)
+  }
+
   test("PQ ANN: Lloyd's-trained codebook keeps recall at the same shortlist") {
     import spark.implicits._
     val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")

@@ -50,6 +50,21 @@ class ServerSpec extends AnyFunSuite {
     assert(r2.statusCode() == 200 && r2.body().contains("\"score\":"))
   }
 
+  test("searchMany scores N queries in one plan, grouped JSON with snippets") {
+    post("/indexDocuments", """{"clear": 1}""")
+    // mixed atoms: two bare terms + a URL-encoded quoted phrase
+    val r = get("/searchMany?queries=whale,blue,%22blue%20whale%22&accuracy=0.000001")
+    assert(r.statusCode() == 200, r.body())
+    val body = r.body()
+    assert(body.startsWith("{"))
+    assert(body.contains("\"whale\":[") && body.contains("\"blue\":[")
+      && body.contains("\"\\\"blue whale\\\"\":["), body.take(200))
+    assert(body.contains("<span>"), "snippets must be rendered")
+    // missing params rejected like the reference's routes
+    assert(get("/searchMany?accuracy=0.0").statusCode() == 404)
+    assert(get("/searchMany?queries=&accuracy=0.0").statusCode() == 404)
+  }
+
   test("setRankerParameters swaps the ranker; bad body rejected") {
     val ok = put("/setRankerParameters",
       """{"BM25_K1": 1.2, "BM25_B": 0.8, "PHRASE_BOOST": 1.5, "EXACT_MATCH_WEIGHT": 0.5}""")
