@@ -489,6 +489,7 @@ object Dedup {
       indexPath: String,
       threshold: Double = 0.95,
       maxBucket: Int = 100000): DataFrame = {
+    Similarity.checkVersion(spark, indexPath)
     val assignments = spark.read.parquet(s"$indexPath/assignments")
     pairsFromBuckets(spark, assignments.select("vec_id", "bucket"),
       assignments.select("vec_id", "embedding"), threshold, maxBucket)

@@ -22,8 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** On-disk index layout version — bump on any change (cache paths embed it). */
-  val IndexVersion = 1
+  /** On-disk index layout version — bump on any change (cache paths embed
+    * it, and every index carries it as a `version` marker table: probes
+    * REFUSE a mismatched or unversioned index instead of misdecoding —
+    * the warehouse FormatGuard contract extended to the ANN indexes). */
+  val IndexVersion = 2
+
+  private def writeVersion(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq(IndexVersion).toDF("version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/version")
+  }
+
+  /** Refuse to probe an index this code cannot decode. */
+  private[ops] def checkVersion(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val v =
+      try spark.read.parquet(s"$path/version").as[Int].head()
+      catch { case _: Throwable => -1 }
+    if (v != IndexVersion) throw new IllegalStateException(
+      s"ANN index at $path has version $v (unversioned = -1) but this build " +
+        s"decodes version $IndexVersion — rebuild the index (buildLshIndex/" +
+        "buildIvfIndex/buildPqIndex/buildIvfPqIndex)")
+  }
 
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -124,6 +145,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/assignments")
     Seq((planes, dims, seed)).toDF("planes", "dims", "seed")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+    writeVersion(spark, path)
     planes
   }
 
@@ -132,6 +154,7 @@ object Similarity {
     * partitions — probes see the union on their next read. */
   def appendLshAssignments(spark: SparkSession, newEmbeddings: DataFrame, path: String): Unit = {
     import spark.implicits._
+    checkVersion(spark, path)
     val (planes, dims, seed) =
       spark.read.parquet(metaPath(path)).as[(Int, Int, Long)].head()
     val shift = partShift(planes)
@@ -157,6 +180,7 @@ object Similarity {
       k: Int,
       probeHamming: Int = 1): DataFrame = {
     import spark.implicits._
+    checkVersion(spark, indexPath)
     val (planes, dims, seed) =
       spark.read.parquet(metaPath(indexPath)).as[(Int, Int, Long)].head()
     require(queryVec.length == dims, s"query dims ${queryVec.length} != index dims $dims")
@@ -229,6 +253,7 @@ object Similarity {
     spark.createDataset(centroids.toIndexedSeq).toDF("cell", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     buildIvfAssignments(spark, embeddings, path)
+    writeVersion(spark, path)
   }
 
   /** Assignment pass against an existing `path/centroids` codebook. */
@@ -237,8 +262,10 @@ object Similarity {
 
   /** Incremental IVF growth: assign a NEW disjoint batch with the
     * EXISTING codebook, appended into the same cell partitions. */
-  def appendIvfAssignments(spark: SparkSession, newEmbeddings: DataFrame, path: String): Unit =
+  def appendIvfAssignments(spark: SparkSession, newEmbeddings: DataFrame, path: String): Unit = {
+    checkVersion(spark, path)
     writeIvfAssignments(spark, newEmbeddings, path, overwrite = false)
+  }
 
   private def writeIvfAssignments(
       spark: SparkSession, embeddings: DataFrame, path: String, overwrite: Boolean): Unit = {
@@ -327,6 +354,7 @@ object Similarity {
       .toDF("cell", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     buildIvfAssignments(spark, embeddings, path)
+    writeVersion(spark, path)
   }
 
   // ------------------------------------------------------------------ PQ --
@@ -437,8 +465,10 @@ object Similarity {
     * their next scan, codebook/LUTs unchanged. Batches must carry fresh
     * vec_ids (the same disjoint-segment contract as the text index's
     * incremental appends). */
-  def appendPqCodes(spark: SparkSession, newEmbeddings: DataFrame, path: String): Unit =
+  def appendPqCodes(spark: SparkSession, newEmbeddings: DataFrame, path: String): Unit = {
+    checkVersion(spark, path)
     writePqCodes(spark, newEmbeddings, path, overwrite = false)
+  }
 
   private def writePqCodes(
       spark: SparkSession, embeddings: DataFrame, path: String, overwrite: Boolean): Unit = {
@@ -460,6 +490,7 @@ object Similarity {
       nCodes: Int = 16): Unit = {
     writePqCodebook(spark, pqInitCodebook(spark, embeddings, m, nCodes), path)
     buildPqCodes(spark, embeddings, path)
+    writeVersion(spark, path)
   }
 
   /** Per-subspace Lloyd's refinement of the PQ codebook (deterministic
@@ -511,6 +542,7 @@ object Similarity {
     }
     writePqCodebook(spark, book, path)
     buildPqCodes(spark, embeddings, path)
+    writeVersion(spark, path)
   }
 
   /** Top-k over a persisted PQ index: ADC scan of the codes table (m
@@ -526,6 +558,7 @@ object Similarity {
       k: Int,
       shortlist: Int = 100): DataFrame = {
     import spark.implicits._
+    checkVersion(spark, indexPath)
     val book = readPqCodebook(spark, indexPath)
     val m = book.length
     val nCodes = book(0).length
@@ -570,6 +603,7 @@ object Similarity {
       shortlist: Int = 100): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty, "pqTopKManyIndexed needs at least one query")
+    checkVersion(spark, indexPath)
     val book = readPqCodebook(spark, indexPath)
     val m = book.length
     val nCodes = book(0).length
@@ -667,6 +701,7 @@ object Similarity {
       }
       .toDF("vec_id", "codes", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    writeVersion(spark, path)
   }
 
   /** Top-k over a persisted IVF-PQ index: rank the driver-side centroid
@@ -683,6 +718,7 @@ object Similarity {
       nProbe: Int = 4,
       shortlist: Int = 100): DataFrame = {
     import spark.implicits._
+    checkVersion(spark, indexPath)
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .as[(Int, Seq[Float])].collect().sortBy(_._1)
     val probeCells = centroids
@@ -724,6 +760,7 @@ object Similarity {
       k: Int,
       nProbe: Int = 4): DataFrame = {
     import spark.implicits._
+    checkVersion(spark, indexPath)
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .as[(Int, Seq[Float])].collect().sortBy(_._1)
     val probeCells = centroids

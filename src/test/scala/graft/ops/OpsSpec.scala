@@ -255,6 +255,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN version guard: probes refuse a stale or unversioned index") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("pq_ver").toString
+    Similarity.buildPqIndex(spark, emb, idx)
+    val q = clusteredVecs.find(_._1 == 0L).get._2
+    // healthy index probes fine
+    assert(Similarity.pqTopKIndexed(spark, idx, emb, q, 0L, 5).count() == 5)
+    // tamper: an older layout version must be refused, not misdecoded
+    Seq(1).toDF("version").coalesce(1)
+      .write.mode("overwrite").parquet(s"$idx/version")
+    intercept[IllegalStateException](
+      Similarity.pqTopKIndexed(spark, idx, emb, q, 0L, 5))
+    intercept[IllegalStateException](Similarity.appendPqCodes(spark, emb, idx))
+    // unversioned (pre-marker) index: also refused
+    val idx2 = java.nio.file.Files.createTempDirectory("pq_nover").toString
+    Similarity.buildPqIndex(spark, emb, idx2)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$idx2/version"))
+    intercept[IllegalStateException](
+      Similarity.pqTopKIndexed(spark, idx2, emb, q, 0L, 5))
+  }
+
   test("incremental ANN appends: build-half + append-half ≡ build-all (PQ, IVF, LSH)") {
     import spark.implicits._
     val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
