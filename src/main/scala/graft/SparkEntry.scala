@@ -184,6 +184,13 @@ object SparkEntry {
       val docs = s.read.parquet(t(dir, "documents"))
       Dedup.dedupClusters(s, Dedup.simHashNearDup(s, docs), docs)
     }),
+    // the last dedup step: the deduplicated corpus — one keeper per
+    // cluster with its cluster size
+    "q36_dedup_apply" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Dedup.applyKeepers(s, docs,
+        Dedup.dedupClusters(s, Dedup.simHashNearDup(s, docs), docs))
+    }),
 
     // ---- text analysis ------------------------------------------------
     "q11_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(t(dir, "documents")))),
@@ -372,6 +379,50 @@ object SparkEntry {
        |  SELECT vec_id, sum(CASE WHEN list_dot_product(embedding::DOUBLE[], pv) >= 0
        |                          THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
        |  FROM embeddings CROSS JOIN pl GROUP BY vec_id)""".stripMargin
+
+  /** q28's WITH RECURSIVE chain up to `reach` — shared with q36. */
+  private val q28ReachPrefix: String =
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t FROM documents),
+        |cnt AS (SELECT doc_id, t, count(*)::HUGEINT AS w FROM tok GROUP BY doc_id, t),
+        |hv AS (
+        |  SELECT doc_id, w,
+        |    (   ((le // 1::HUGEINT) % 256) * 72057594037927936::HUGEINT
+        |      + ((le // 256::HUGEINT) % 256) * 281474976710656::HUGEINT
+        |      + ((le // 65536::HUGEINT) % 256) * 1099511627776::HUGEINT
+        |      + ((le // 16777216::HUGEINT) % 256) * 4294967296::HUGEINT
+        |      + ((le // 4294967296::HUGEINT) % 256) * 16777216::HUGEINT
+        |      + ((le // 1099511627776::HUGEINT) % 256) * 65536::HUGEINT
+        |      + ((le // 281474976710656::HUGEINT) % 256) * 256::HUGEINT
+        |      + ((le // 72057594037927936::HUGEINT) % 256) ) AS be
+        |  FROM (SELECT doc_id, w, md5_number_upper('0:' || t)::HUGEINT AS le FROM cnt)),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (be // (2::HUGEINT ^ i)::HUGEINT) % 2 = 1 THEN w ELSE -w END) AS acc
+        |  FROM hv, (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY doc_id, i),
+        |uns AS (
+        |  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (2::HUGEINT ^ i)::HUGEINT ELSE 0::HUGEINT END) AS u
+        |  FROM bits GROUP BY doc_id),
+        |sh AS (
+        |  SELECT d.doc_id,
+        |    CAST(CASE WHEN coalesce(u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |              THEN coalesce(u, 0::HUGEINT) - 18446744073709551616::HUGEINT
+        |              ELSE coalesce(u, 0::HUGEINT) END AS BIGINT) AS simhash
+        |  FROM documents d LEFT JOIN uns USING (doc_id)),
+        |pr AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |    FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |  WHERE hamming <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
+        |reach(src, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.src)
+        |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // minhash LSH near-dup: identical signatures/bands recomputed from the
@@ -611,49 +662,17 @@ object SparkEntry {
         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // connected components over the q26 pairs as a recursive CTE: reach =
     // transitive closure of labels, cluster_id = min reachable id
-    "q28_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t FROM documents),
-        |cnt AS (SELECT doc_id, t, count(*)::HUGEINT AS w FROM tok GROUP BY doc_id, t),
-        |hv AS (
-        |  SELECT doc_id, w,
-        |    (   ((le // 1::HUGEINT) % 256) * 72057594037927936::HUGEINT
-        |      + ((le // 256::HUGEINT) % 256) * 281474976710656::HUGEINT
-        |      + ((le // 65536::HUGEINT) % 256) * 1099511627776::HUGEINT
-        |      + ((le // 16777216::HUGEINT) % 256) * 4294967296::HUGEINT
-        |      + ((le // 4294967296::HUGEINT) % 256) * 16777216::HUGEINT
-        |      + ((le // 1099511627776::HUGEINT) % 256) * 65536::HUGEINT
-        |      + ((le // 281474976710656::HUGEINT) % 256) * 256::HUGEINT
-        |      + ((le // 72057594037927936::HUGEINT) % 256) ) AS be
-        |  FROM (SELECT doc_id, w, md5_number_upper('0:' || t)::HUGEINT AS le FROM cnt)),
-        |bits AS (
-        |  SELECT doc_id, i,
-        |    sum(CASE WHEN (be // (2::HUGEINT ^ i)::HUGEINT) % 2 = 1 THEN w ELSE -w END) AS acc
-        |  FROM hv, (SELECT unnest(range(0, 64)) AS i)
-        |  GROUP BY doc_id, i),
-        |uns AS (
-        |  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (2::HUGEINT ^ i)::HUGEINT ELSE 0::HUGEINT END) AS u
-        |  FROM bits GROUP BY doc_id),
-        |sh AS (
-        |  SELECT d.doc_id,
-        |    CAST(CASE WHEN coalesce(u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
-        |              THEN coalesce(u, 0::HUGEINT) - 18446744073709551616::HUGEINT
-        |              ELSE coalesce(u, 0::HUGEINT) END AS BIGINT) AS simhash
-        |  FROM documents d LEFT JOIN uns USING (doc_id)),
-        |pr AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |    FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-        |  WHERE hamming <= 3),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-        |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
-        |reach(src, lab) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.src)
-        |SELECT src AS doc_id, min(lab) AS cluster_id, min(lab) = src AS keep
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q28_dedup_clusters" -> (q28ReachPrefix +
+      """SELECT src AS doc_id, min(lab) AS cluster_id, min(lab) = src AS keep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    // the final dedup step: one keeper per cluster + the cluster size —
+    // same recursive-CTE closure as q28, filtered to keepers
+    "q36_dedup_apply" -> (q28ReachPrefix +
+      """, cl AS (SELECT src AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id)
+        |SELECT c.doc_id, c.cluster_id, s.n_members
+        |FROM cl c JOIN sz s USING (cluster_id)
+        |WHERE c.doc_id = c.cluster_id ORDER BY c.doc_id""".stripMargin),
     "q10_embedding_neardup" ->
       """SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -439,6 +439,20 @@ object Dedup {
       labels)
   }
 
+  /** The last dedup step: keep ONE document per near-dup cluster (the
+    * min-id keeper `dedupClusters` elected), dropping the other n−1;
+    * the output row carries the cluster size so downstream pipelines can
+    * weight or audit the survivors. Joins are keeper-sized (≤ one row per
+    * cluster) against the docs universe. */
+  def applyKeepers(spark: SparkSession, docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sizes = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+    docs.select($"doc_id")
+      .join(clusters.filter($"keep").select($"doc_id", $"cluster_id"), Seq("doc_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"n_members")
+  }
+
   /** dedupClusters with deterministic cleanup: runs `use` on the result and
     * unpersists the final checkpoint afterwards (the result must be fully
     * consumed inside `use` — it is not recomputable once released). */

@@ -91,6 +91,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1000L) == 0L, "planted exact dup clusters with its source")
   }
 
+  test("applyKeepers: one survivor per cluster, sizes account for every doc") {
+    import spark.implicits._
+    val docs = docsWithDups
+    val clusters = Dedup.dedupClusters(
+      spark, Dedup.simHashNearDup(spark, docs, maxBits = 3, blocks = 4), docs)
+    val kept = Dedup.applyKeepers(spark, docs, clusters)
+      .as[(Long, Long, Long)].collect()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    assert(kept.length.toLong == nClusters, "exactly one keeper per cluster")
+    assert(kept.map(_._3).sum == docs.count(), "cluster sizes sum to the corpus")
+    assert(kept.forall { case (d, c, _) => d == c }, "keeper = min-id = cluster id")
+    // the planted exact dup of doc 0 is dropped; doc 0 survives with size ≥ 2
+    assert(!kept.exists(_._1 == 1000L))
+    assert(kept.find(_._1 == 0L).exists(_._3 >= 2))
+  }
+
   test("ngram jaccard verifies planted near-dup above threshold") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccardPairs(spark, docsWithDups, threshold = 0.3)
