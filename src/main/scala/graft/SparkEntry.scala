@@ -197,6 +197,9 @@ object SparkEntry {
     "q12_quality" -> ((s, dir) => TextOps.qualityScore(s.read.parquet(t(dir, "documents")))),
     "q13_lang_id" -> ((s, dir) => TextOps.langId(s.read.parquet(t(dir, "documents")))),
     "q14_fingerprint" -> ((s, dir) => TextOps.fingerprint(s.read.parquet(t(dir, "documents")))),
+    // deterministic split/shard: the pipeline's hand-off step — stable
+    // under reruns/subsets/appends (salt-keyed md5 of the doc id alone)
+    "q37_split_shard" -> ((s, dir) => TextOps.splitAssign(s.read.parquet(t(dir, "documents")))),
 
     // ---- similarity search -------------------------------------------
     "q15_ann_cosine_topk" -> ((s, dir) =>
@@ -572,6 +575,18 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // salt-keyed md5 split/shard: the same 15-hex-char (60-bit) prefix of
+    // md5('graft:<tag>:<doc_id>') both engines parse to an integer
+    "q37_split_shard" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 900 THEN 'train'
+        |       WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split,
+        |  CAST((('0x' || substr(md5('graft:shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8) AS INTEGER) AS shard
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST((('0x' || substr(md5('graft:split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) AS INTEGER) AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // documents.text is pure [a-z0-9 ] (asserted in OpsSpec), so the
     // reference tokenizer reduces to regexp_extract_all('[a-z0-9]+')
     "q09_ngram_jaccard" ->

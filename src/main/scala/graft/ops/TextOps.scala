@@ -73,6 +73,34 @@ object TextOps {
         regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic train/val/test split + shard assignment — the step a
+    * training pipeline ends with. The bucket is a salt-keyed md5 of the
+    * doc id (15 hex chars = 60 bits, always positive), so the split is
+    * stable under reruns, subsets, and incremental appends: a document's
+    * split NEVER depends on what else is in the corpus. The shard uses an
+    * independent salt so shards are uncorrelated with splits. Pure
+    * Catalyst (codegen'd md5), no shuffle — per-row arithmetic only;
+    * writers can `partitionBy("split", "shard")` downstream. */
+  def splitAssign(
+      docs: DataFrame,
+      trainPerMille: Int = 900,
+      valPerMille: Int = 50,
+      nShards: Int = 8,
+      salt: String = "graft"): DataFrame = {
+    def h(tag: String): Column =
+      conv(substring(md5(concat_ws(":", lit(salt), lit(tag),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    docs.select(col("doc_id"), (h("split") % 1000).cast("int").as("bucket"))
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        when(col("bucket") < trainPerMille, lit("train"))
+          .when(col("bucket") < trainPerMille + valPerMille, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .withColumn("shard", (h("shard") % nShards).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style) over word tokens — the
     * positional fingerprint (not SQL-expressible; ScalaTest-verified). */
   def rollingHash(tokens: Seq[String], window: Int = 8): Seq[Long] = {

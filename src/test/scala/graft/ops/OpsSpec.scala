@@ -465,6 +465,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("splitAssign: md5-exact, subset-stable, proportioned") {
+    import spark.implicits._
+    val big = spark.range(0, 10000).toDF("doc_id")
+    val out = TextOps.splitAssign(big).as[(Long, Int, String, Int)].collect()
+    assert(out.length == 10000)
+    val trainFrac = out.count(_._3 == "train").toDouble / out.length
+    val valFrac = out.count(_._3 == "val").toDouble / out.length
+    assert(math.abs(trainFrac - 0.9) < 0.02, s"train $trainFrac")
+    assert(math.abs(valFrac - 0.05) < 0.01, s"val $valFrac")
+    // subset stability: a doc's split NEVER depends on the rest of the corpus
+    val sub = TextOps.splitAssign(big.filter($"doc_id" % 3 === 0))
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(sub.nonEmpty && sub.subsetOf(out.toSet))
+    // bit-exact vs an independent JDK MessageDigest computation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long, tag: String, m: Int): Int = {
+      val hex = md.digest(s"graft:$tag:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % m).toInt
+    }
+    out.take(100).foreach { case (id, b, split, shard) =>
+      assert(b == bucket(id, "split", 1000), s"doc $id bucket")
+      assert(shard == bucket(id, "shard", 8), s"doc $id shard")
+      val want = if (b < 900) "train" else if (b < 950) "val" else "test"
+      assert(split == want)
+    }
+  }
+
   test("rolling hash: shift-sensitive, deterministic") {
     val t1 = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i")
     assert(TextOps.rollingHash(t1) == TextOps.rollingHash(t1))
