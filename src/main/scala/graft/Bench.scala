@@ -38,14 +38,54 @@ object Bench {
     s
   }
 
+  /** Recursively delete a directory tree (best-effort; used for the per-rep
+    * temp warehouses — leaking them once filled the disk and killed a run).
+    */
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    import java.util.Comparator
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val stream = Files.walk(root)
+      try stream.sorted(Comparator.reverseOrder[Path]()).forEach { p =>
+        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+      } finally stream.close()
+    }
+  }
+
+  /** Fail fast if the disk can't hold a run: a rep's warehouse is ~1 GB at
+    * the default 250k convs and a mid-parquet-write ENOSPC leaves a corrupt
+    * artifact (rc 1, unparseable). Better a one-line abort up front.
+    */
+  private def requireFreeDisk(minGiB: Long): Unit = {
+    val freeGiB = new java.io.File("/tmp").getUsableSpace / (1024L * 1024 * 1024)
+    if (freeGiB < minGiB) {
+      System.err.println(
+        s"[bench] ABORT: only $freeGiB GiB free on /tmp (need >= $minGiB). " +
+          "Clean stale /tmp/bench_wh_* or /tmp/graft_bench_turns_* and retry.")
+      sys.exit(2)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "250000").toLong
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    requireFreeDisk(10)
+    // a crashed earlier run may have left warehouses behind — reclaim first
+    new java.io.File("/tmp").listFiles().foreach { f =>
+      if (f.getName.startsWith("bench_wh_")) deleteRecursively(f.getPath)
+    }
 
     // ---- untimed: materialize the transcript source table --------------
     val src = s"/tmp/graft_bench_turns_gen${TranscriptGen.Version}_$convs"
+    // stale corpora from older generator versions / other sizes are dead
+    // weight (the cache key embeds both) — reclaim them before generating
+    new java.io.File("/tmp").listFiles().foreach { f =>
+      if (f.getName.startsWith("graft_bench_turns_") && f.getPath != src)
+        deleteRecursively(f.getPath)
+    }
     locally {
       val spark = session(cpus)
       if (!new java.io.File(src + "/_SUCCESS").exists()) {
@@ -64,29 +104,33 @@ object Bench {
       val spark = session(cores)
       import spark.implicits._
       val wh = java.nio.file.Files.createTempDirectory(s"bench_wh_$cores").toString
-      val io = new ParquetTableIO(spark, wh)
-      val turns = spark.read.parquet(src).as[Turn]
-      if (turnsCount == 0L) turnsCount = turns.count()
-      val t0 = System.nanoTime()
-      val metrics = new IndexBuilder(spark, io).build(turns)
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (recordStages) metrics.foreach { m =>
-        results(s"stage_${m.stage}_sec") = m.wallMs / 1000.0
-        if (m.wallMs > 0) results(s"stage_${m.stage}_rows_per_sec") = m.rows * 1000.0 / m.wallMs
+      try {
+        val io = new ParquetTableIO(spark, wh)
+        val turns = spark.read.parquet(src).as[Turn]
+        if (turnsCount == 0L) turnsCount = turns.count()
+        val t0 = System.nanoTime()
+        val metrics = new IndexBuilder(spark, io).build(turns)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (recordStages) metrics.foreach { m =>
+          results(s"stage_${m.stage}_sec") = m.wallMs / 1000.0
+          if (m.wallMs > 0) results(s"stage_${m.stage}_rows_per_sec") = m.rows * 1000.0 / m.wallMs
+        }
+        // order-independent content hash of the postings table — the
+        // determinism half of the scaling criterion: every parallelism level
+        // must produce the identical index (untimed)
+        if (!contentHashes.contains(cores)) {
+          import org.apache.spark.sql.functions.{bit_xor, xxhash64}
+          contentHashes(cores) = io.read("postings")
+            .select(xxhash64(col("term"), col("docId"), col("tf"),
+              col("doc_len"), col("positions_vb")).as("h"))
+            .agg(bit_xor(col("h"))).as[Long].head()
+        }
+        sec
+      } finally {
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        deleteRecursively(wh)
       }
-      // order-independent content hash of the postings table — the
-      // determinism half of the scaling criterion: every parallelism level
-      // must produce the identical index (untimed)
-      if (!contentHashes.contains(cores)) {
-        import org.apache.spark.sql.functions.{bit_xor, xxhash64}
-        contentHashes(cores) = io.read("postings")
-          .select(xxhash64(col("term"), col("docId"), col("tf"),
-            col("doc_len"), col("positions_vb")).as("h"))
-          .agg(bit_xor(col("h"))).as[Long].head()
-      }
-      spark.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      sec
     }
     // co-tenant noise on this host swings identical runs 2-16x; min-of-reps
     // is the least-interference sample (reps interleaved across levels so a

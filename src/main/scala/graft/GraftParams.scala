@@ -20,6 +20,13 @@ final case class GraftParams(
     topK: Int = 100,
     /** operand-size ceiling for the driver-side boolean algebra; above it
       * the engine falls back to the fully distributed algebra */
-    driverAlgebraMaxDocs: Int = 2000000) {
+    driverAlgebraMaxDocs: Int = 2000000,
+    /** head-stem df at or above which the phrase paths broadcast a Bloom
+      * filter of the first stem's docIds and drop non-candidate postings
+      * map-side, BEFORE the docId shuffle (phrase tf is provably 0 for a
+      * doc missing the first stem). Below it the filter costs more than
+      * the small shuffle it saves. Results are bit-identical either way —
+      * Bloom false positives fold to tf=0. */
+    phrasePrefilterMinDf: Long = 65536L) {
   def termFrequencyWeight: Double = 1 - exactMatchWeight
 }

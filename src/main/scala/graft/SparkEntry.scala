@@ -48,8 +48,14 @@ object SparkEntry {
       .searchFrame("\"blue whale\" OR \"query engine\"")
 
   // ---- ANN indexes, built once per (JVM lifetime isn't needed — /tmp
-  // persists) sf dir; _SUCCESS-gated so reruns are a read ------------------
+  // persists) sf dir; gated on version/_SUCCESS, the LAST artifact each
+  // builder writes — a build interrupted after the data tables but before
+  // the version stamp must look absent (rebuild) rather than valid-but-
+  // version-refused forever (round-3 ADVICE) ------------------------------
   private def dirKey(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def annIndexCommitted(p: String): Boolean =
+    new java.io.File(s"$p/version/_SUCCESS").exists()
 
   private def queryEmbedding(s: SparkSession, dir: String, id: Long): Seq[Float] = {
     import s.implicits._
@@ -59,7 +65,7 @@ object SparkEntry {
 
   private def lshIndex(s: SparkSession, dir: String): String = {
     val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/lsh_${dirKey(dir)}"
-    if (!new java.io.File(s"$p/assignments/_SUCCESS").exists())
+    if (!annIndexCommitted(p))
       Similarity.buildLshIndex(s, s.read.parquet(t(dir, "embeddings")), p)
     p
   }
@@ -77,14 +83,14 @@ object SparkEntry {
 
   private def pqIndex(s: SparkSession, dir: String): String = {
     val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/pq8x16_${dirKey(dir)}"
-    if (!new java.io.File(s"$p/codes/_SUCCESS").exists())
+    if (!annIndexCommitted(p))
       Similarity.buildPqIndex(s, s.read.parquet(t(dir, "embeddings")), p, m = 8, nCodes = 16)
     p
   }
 
   private def ivfPqIndex(s: SparkSession, dir: String): String = {
     val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/ivfpq16_8x16_${dirKey(dir)}"
-    if (!new java.io.File(s"$p/codes/_SUCCESS").exists())
+    if (!annIndexCommitted(p))
       Similarity.buildIvfPqIndex(s, s.read.parquet(t(dir, "embeddings")), p,
         nCells = 16, m = 8, nCodes = 16)
     p
@@ -92,7 +98,7 @@ object SparkEntry {
 
   private def ivfIndex(s: SparkSession, dir: String): String = {
     val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/ivf16_${dirKey(dir)}"
-    if (!new java.io.File(s"$p/assignments/_SUCCESS").exists())
+    if (!annIndexCommitted(p))
       Similarity.buildIvfIndex(s, s.read.parquet(t(dir, "embeddings")), p, nCells = 16)
     p
   }

@@ -109,6 +109,30 @@ final class SparkSearchEngine(
     liveCaches.foreach(_.unpersist(false)); liveCaches.clear()
   }
 
+  /** Map-side candidate prefilter for the phrase fold. Phrase tf can be
+    * nonzero ONLY for docs containing the FIRST stem: `PhraseMatch.phraseTf`
+    * returns 0 when `stems.head` is absent, while every LATER missing stem
+    * is skip-folded (the reference's stale-postings quirk,
+    * BM25Ranker.cpp:439-491) — so the head stem is the one necessary
+    * condition a prefilter may use. When the head stems' df is big enough
+    * to matter, broadcast a Bloom filter of their docIds and drop
+    * non-candidate postings BEFORE the docId shuffle: the shuffle falls
+    * from Σ df(all stems) to ≈ df(head) rows. False positives are harmless
+    * (they fold to tf=0 and are filtered), so results are bit-identical at
+    * any fpp; the filter is pure plan surgery, the fold is untouched. */
+  private def headDocFilter(heads: Seq[String]): Option[Column] = {
+    val dfHead = io.read(Tables.Blocks).filter($"term".isin(heads: _*))
+      .agg(coalesce(sum($"n_docs"), lit(0L))).as[Long].head()
+    if (dfHead < params.phrasePrefilterMinDf || dfHead == 0L) None
+    else {
+      val bf = postings.filter($"term".isin(heads: _*)).select($"docId")
+        .stat.bloomFilter("docId", dfHead, 0.01)
+      val bBf = spark.sparkContext.broadcast(bf)
+      val mightContain = udf((id: Long) => bBf.value.mightContain(id))
+      Some(mightContain($"docId"))
+    }
+  }
+
   object Algebra extends ScoreAlgebra[Scores] {
     /** Every op output is cached: the evaluator reuses operands in several
       * branches (stackCombine feeds each stack element into both the Σ and
@@ -133,8 +157,8 @@ final class SparkSearchEngine(
     override def phraseScore(phraseText: String): Scores = {
       val stems = TextPipeline.tokenizeQuery(phraseText)
       if (stems.isEmpty) return empty
-      val rows = postings
-        .filter($"term".isin(stems.distinct: _*))
+      val base = postings.filter($"term".isin(stems.distinct: _*))
+      val rows = headDocFilter(Seq(stems.head)).fold(base)(base.filter)
         .select($"docId", $"doc_len", $"term", $"positions_vb")
       // one shuffle on docId (alone — so downstream docId joins can reuse
       // the partitioning); the positional fold is doc-local. Cached because
@@ -233,8 +257,8 @@ final class SparkSearchEngine(
     override def phraseScore(phraseText: String): DScores = {
       val stems = TextPipeline.tokenizeQuery(phraseText)
       if (stems.isEmpty) return empty
-      val rows = postings
-        .filter($"term".isin(stems.distinct: _*))
+      val base = postings.filter($"term".isin(stems.distinct: _*))
+      val rows = headDocFilter(Seq(stems.head)).fold(base)(base.filter)
         .select($"docId", $"doc_len", $"term", $"positions_vb")
       val tfs = rows
         .groupBy($"docId")
@@ -511,8 +535,11 @@ final class SparkSearchEngine(
     * single-query path does). */
   private def phraseAtomFrame(phraseAtoms: Seq[(String, Vector[String])]): DataFrame = {
     val allStems = phraseAtoms.flatMap(_._2).distinct
-    val perDoc = postings
-      .filter($"term".isin(allStems: _*))
+    // a doc is a candidate iff it contains SOME phrase's head stem (each
+    // phrase's fold returns 0 without its own head — see headDocFilter)
+    val heads = phraseAtoms.map(_._2.head).distinct
+    val base = postings.filter($"term".isin(allStems: _*))
+    val perDoc = headDocFilter(heads).fold(base)(base.filter)
       .select($"docId", $"doc_len", $"term", $"positions_vb")
       .groupBy($"docId")
       .agg(first($"doc_len").as("doc_len"),
@@ -529,9 +556,13 @@ final class SparkSearchEngine(
       }
     }.toDF("query", "docId", "tf", "doc_len")
       .select($"query", $"docId", tfPartCol($"tf", $"doc_len").as("f"))
-    val perQuery = fF.groupBy($"query")
+    // cached so the postings decode + positional fold runs ONE job: the
+    // broadcast df aggregate populates the cache, the join then reads it
+    // (uncached, fF would evaluate twice — round-3 ADVICE)
+    val fFc = track(fF.cache())
+    val perQuery = fFc.groupBy($"query")
       .agg(count(lit(1)).cast("double").as("df_count"))
-    fF.join(broadcast(perQuery), Seq("query"))
+    fFc.join(broadcast(perQuery), Seq("query"))
       .select($"query", $"docId", (idfCol($"df_count") * $"f").as("s"))
   }
 

@@ -37,9 +37,16 @@ object Similarity {
   /** Refuse to probe an index this code cannot decode. */
   private[ops] def checkVersion(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
+    // only a missing/unreadable version table means "unversioned" — fatal
+    // errors (OOM, interrupts) must propagate, not masquerade as staleness
     val v =
       try spark.read.parquet(s"$path/version").as[Int].head()
-      catch { case _: Throwable => -1 }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => -1
+        case e: org.apache.spark.SparkException
+          if e.getCause != null && e.getCause.isInstanceOf[java.io.IOException] => -1
+        case _: java.io.IOException => -1
+      }
     if (v != IndexVersion) throw new IllegalStateException(
       s"ANN index at $path has version $v (unversioned = -1) but this build " +
         s"decodes version $IndexVersion — rebuild the index (buildLshIndex/" +
@@ -603,6 +610,10 @@ object Similarity {
       shortlist: Int = 100): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty, "pqTopKManyIndexed needs at least one query")
+    // a repeated qid would run two heaps whose duplicate rows crowd the
+    // row_number shortlist — ambiguous input, refuse instead of guessing
+    require(queries.map(_._1).distinct.size == queries.size,
+      "pqTopKManyIndexed: duplicate query ids in the batch")
     checkVersion(spark, indexPath)
     val book = readPqCodebook(spark, indexPath)
     val m = book.length

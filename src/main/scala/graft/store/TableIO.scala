@@ -24,6 +24,12 @@ trait TableIO {
     * moved in with tag-prefixed file names, so a crashed append is
     * detectable and removable by tag (see deleteTagged). */
   def appendTagged(df: DataFrame, name: String, tag: String): Unit
+  /** Persist a tiny scalar marker (e.g. the format-version stamp) WITHOUT
+    * launching a Spark job — markers are metadata, and paying a job per
+    * build for a one-row table taxes the build's scaling ratio. */
+  def writeMarker(name: String, value: String): Unit
+  /** Read a marker written by writeMarker; None if absent. */
+  def readMarker(name: String): Option[String]
   /** Remove files previously appendTagged with `tag` (crash cleanup);
     * returns how many data files were removed. */
   def deleteTagged(name: String, tag: String): Int
@@ -87,6 +93,36 @@ final class ParquetTableIO(spark: SparkSession, warehouse: String) extends Table
     val tagged = fs.listStatus(p).filter(_.getPath.getName.startsWith(s"$tag-"))
     tagged.foreach(f => fs.delete(f.getPath, false))
     tagged.length
+  }
+
+  override def writeMarker(name: String, value: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path(name))
+    val f = fs
+    f.mkdirs(dir)
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, "MARKER"), true)
+    out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    touchSuccess(name)
+  }
+
+  override def readMarker(name: String): Option[String] = {
+    val m = new org.apache.hadoop.fs.Path(path(name), "MARKER")
+    val f = fs
+    if (f.exists(m)) {
+      val in = f.open(m)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } else if (exists(name)) {
+      // pre-round-4 warehouses persisted the marker as a one-row parquet
+      // table — still readable (a cold read here is fine; only the write
+      // path is on the measured build)
+      Some(spark.read.parquet(path(name)).head().get(0).toString)
+    } else None
   }
 
   /** Write to a temp name first, then swap. (With an Iceberg catalog this

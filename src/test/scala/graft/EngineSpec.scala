@@ -211,6 +211,30 @@ class EngineSpec extends AnyFunSuite {
     intercept[RuntimeException](engine.searchMany(Seq("whale AND blue")))
   }
 
+  test("phrase head-stem Bloom prefilter: forced path bit-identical on all phrase queries") {
+    val (io, _) = built
+    import spark.implicits._
+    val engine = new SparkSearchEngine(spark, io)
+    // default threshold (65536) never triggers at this corpus size, so
+    // force the Bloom path and assert full bit-identity — false positives
+    // must fold to tf=0, never perturb a score
+    val forced = new SparkSearchEngine(spark, io, GraftParams(phrasePrefilterMinDf = 1L))
+    val phraseQueries = queries.filter(_._2._1.contains("\""))
+    assert(phraseQueries.nonEmpty)
+    phraseQueries.foreach { case (name, (q, acc)) =>
+      assert(forced.topK(forced.scores(q), acc, 100) ==
+        engine.topK(engine.scores(q), acc, 100), s"$name distributed")
+      assert(forced.topKDriver(q, acc, 100) == engine.topKDriver(q, acc, 100),
+        s"$name driver")
+    }
+    // bulk phrase path under the forced filter
+    val qs = Seq("\"blue whale\"", "\"red fish\"", "whale")
+    def rows(e: SparkSearchEngine) = e.searchMany(qs, k = 50)
+      .select("query", "docId", "score").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(rows(forced) == rows(engine))
+  }
+
   test("bulk snippets equal the single-query search snippets") {
     val (io, _) = built
     import spark.implicits._

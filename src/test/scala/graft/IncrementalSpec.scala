@@ -107,11 +107,11 @@ class IncrementalSpec extends AnyFunSuite {
     val b = new IndexBuilder(spark, io, blockSize = 8)
     b.build(spark.createDataset(allTurns))
     // marker written by build; engine opens fine
-    assert(io.read(Tables.Format).as[Int].head() == Tables.FormatVersion)
+    assert(io.readMarker(Tables.Format).map(_.trim.toInt).contains(Tables.FormatVersion))
     new SparkSearchEngine(spark, io).stats
 
     // tamper: pretend the warehouse was built at layout v3
-    io.replace(spark.createDataset(Seq(3)).toDF("format_version"), Tables.Format)
+    io.writeMarker(Tables.Format, "3")
     intercept[IllegalStateException] { new SparkSearchEngine(spark, io).stats }
     intercept[IllegalStateException] {
       b.build(spark.createDataset(allTurns), resume = true)
@@ -123,6 +123,14 @@ class IncrementalSpec extends AnyFunSuite {
     // unversioned (pre-marker) warehouse with index tables: also refused
     io.drop(Tables.Format)
     intercept[IllegalStateException] { new SparkSearchEngine(spark, io).stats }
+
+    // legacy marker (pre-round-4 one-row parquet table): readable both ways
+    io.replace(spark.createDataset(Seq(Tables.FormatVersion)).toDF("format_version"),
+      Tables.Format)
+    new SparkSearchEngine(spark, io).stats
+    io.replace(spark.createDataset(Seq(3)).toDF("format_version"), Tables.Format)
+    intercept[IllegalStateException] { new SparkSearchEngine(spark, io).stats }
+    io.drop(Tables.Format)
 
     // a full rebuild (resume = false) re-stamps the marker and recovers
     b.build(spark.createDataset(allTurns))
