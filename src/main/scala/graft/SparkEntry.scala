@@ -78,6 +78,7 @@ object SparkEntry {
     ivfIndex(s, dir)
     pqIndex(s, dir)
     ivfPqIndex(s, dir)
+    minhashIndex(s, dir)
     ()
   }
 
@@ -100,6 +101,18 @@ object SparkEntry {
     val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/ivf16_${dirKey(dir)}"
     if (!annIndexCommitted(p))
       Similarity.buildIvfIndex(s, s.read.parquet(t(dir, "embeddings")), p, nCells = 16)
+    p
+  }
+
+  /** q38's "yesterday's corpus": everything below this doc_id is indexed
+    * once; the rest is the probing batch (the oracle SQL hard-codes it). */
+  private val MinHashSplit = 375L
+
+  private def minhashIndex(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/minhash_s${MinHashSplit}_${dirKey(dir)}"
+    if (!annIndexCommitted(p))
+      Dedup.buildMinHashIndex(s,
+        s.read.parquet(t(dir, "documents")).filter(col("doc_id") < MinHashSplit), p)
     p
   }
 
@@ -197,6 +210,14 @@ object SparkEntry {
       Dedup.applyKeepers(s, docs,
         Dedup.dedupClusters(s, Dedup.simHashNearDup(s, docs), docs))
     }),
+
+    // persisted MinHash signature index: corpus = doc_id < 375 signed ONCE
+    // (index cached in /tmp like the ANN families); the probe signs only
+    // the new batch and Bloom-prefilters the corpus banding rows map-side —
+    // the daily dedup-new-crawl-vs-corpus operator
+    "q38_minhash_index_dedup" -> ((s, dir) =>
+      Dedup.minHashDedupBatch(s, minhashIndex(s, dir),
+        s.read.parquet(t(dir, "documents")).filter(col("doc_id") >= MinHashSplit))),
 
     // ---- text analysis ------------------------------------------------
     "q11_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(t(dir, "documents")))),
@@ -444,6 +465,18 @@ object SparkEntry {
          |    len(list_filter(list_zip(a.sl, b.sl), z -> z[1] = z[2]))::DOUBLE / 64.0 AS est_jaccard
          |  FROM cand JOIN sv a ON a.doc_id = doc_a JOIN sv b ON b.doc_id = doc_b)
          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // persisted-index batch dedup: the SAME union banding/signatures as
+    // q07 (the index changes where signatures come from, not their
+    // values), restricted to pairs touching the new batch (id ≥ 375)
+    "q38_minhash_index_dedup" ->
+      s"""WITH $minhashCandidateCtes,
+         |sv AS (SELECT doc_id, list(sg ORDER BY i) AS sl FROM sigf GROUP BY doc_id)
+         |SELECT doc_a, doc_b, est_jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    len(list_filter(list_zip(a.sl, b.sl), z -> z[1] = z[2]))::DOUBLE / 64.0 AS est_jaccard
+         |  FROM cand JOIN sv a ON a.doc_id = doc_a JOIN sv b ON b.doc_id = doc_b)
+         |WHERE est_jaccard >= 0.5 AND (doc_a >= 375 OR doc_b >= 375)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // LSH candidates + EXACT n-gram jaccard verify (the q09 arithmetic)
     "q25_ngram_jaccard_lsh" ->
       s"""WITH $minhashCandidateCtes,

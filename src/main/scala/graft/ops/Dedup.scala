@@ -103,16 +103,14 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame =
     candidatesFromSigs(spark, minHashSigs(spark, docs, shingleN, k), k, bands, maxBucket)
 
-  private def candidatesFromSigs(
-      spark: SparkSession,
-      sigs: DataFrame,
-      k: Int,
-      bands: Int,
-      maxBucket: Int): DataFrame = {
+  /** (band, bucket, doc_id) banding rows of a signature frame — 24 bytes
+    * per (doc, band); the shuffle unit of every LSH variant. */
+  private def bandRows(
+      spark: SparkSession, sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     import spark.implicits._
     require(k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
     val r = k / bands
-    val banded = sigs.as[(Long, Seq[Long])]
+    sigs.as[(Long, Seq[Long])]
       .flatMap { case (id, sig) =>
         (0 until bands).iterator.map { b =>
           // polynomial fold of the band's components in GF(2^61−1): SQL-
@@ -127,6 +125,13 @@ object Dedup {
           (b, h, id)
         }
       }.toDF("band", "bucket", "doc_id")
+  }
+
+  /** Candidate pairs from banding rows: one groupBy, in-bucket pairs,
+    * skew-capped. */
+  private def pairsFromBandRows(
+      spark: SparkSession, banded: DataFrame, maxBucket: Int): DataFrame = {
+    import spark.implicits._
     banded.groupBy($"band", $"bucket")
       .agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
@@ -138,6 +143,36 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  private def candidatesFromSigs(
+      spark: SparkSession,
+      sigs: DataFrame,
+      k: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame =
+    pairsFromBandRows(spark, bandRows(spark, sigs, k, bands), maxBucket)
+
+  /** est_jaccard = matching signature components / k, per candidate pair;
+    * pairs ≪ docs so AQE broadcasts the pair side of both joins. */
+  private def estimatePairs(
+      spark: SparkSession,
+      cands: DataFrame,
+      sigs: DataFrame,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    cands
+      .join(sigs.toDF("doc_a", "sig_a"), Seq("doc_a"))
+      .join(sigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b")
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .map { case (a, b, sa, sb) =>
+        val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+        (a, b, est)
+      }
+      .toDF("doc_a", "doc_b", "est_jaccard")
+      .filter($"est_jaccard" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** MinHash + LSH banding: docs sharing any band bucket are candidate
@@ -157,23 +192,129 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxBucket: Int = 100000): DataFrame = {
-    import spark.implicits._
     // plain cache (recomputable lineage, evictable, caller-unpersistable) —
     // NOT a localCheckpoint, so there is no leak-on-return hazard here
     val sigs = minHashSigs(spark, docs, shingleN, k).cache()
     val cands = candidatesFromSigs(spark, sigs, k, bands, maxBucket)
-    cands
-      .join(sigs.toDF("doc_a", "sig_a"), Seq("doc_a"))
-      .join(sigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
-      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b")
-      .as[(Long, Long, Seq[Long], Seq[Long])]
-      .map { case (a, b, sa, sb) =>
-        val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
-        (a, b, est)
+    estimatePairs(spark, cands, sigs, threshold)
+  }
+
+  // ------------------------------------------- persisted MinHash index --
+  // The index-once/query-many contract the ANN families already have,
+  // for TEXT dedup: the expensive pass (tokenize → shingle → 1 md5/shingle
+  // → k Carter–Wegman permutations) runs once per document ever; daily
+  // batches append their signatures and probe the corpus WITHOUT
+  // rescanning or re-hashing it. Layout (version-guarded like
+  // Similarity.buildLshIndex):
+  //   path/sigs    (doc_id, sig ARRAY<LONG>[k])
+  //   path/buckets (band, bucket, doc_id) — range-sorted on (band, bucket)
+  //                so point/range probes prune files via parquet min-max
+  //   path/meta    (shingle_n, k, bands)
+  //   path/version
+
+  /** One-time signature index build over a document corpus. */
+  def buildMinHashIndex(
+      spark: SparkSession,
+      docs: DataFrame,
+      path: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16): Unit = {
+    import spark.implicits._
+    require(k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
+    val sigs = minHashSigs(spark, docs, shingleN, k).cache()
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    bandRows(spark, sigs, k, bands)
+      .repartitionByRange(n, col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Similarity.writeVersion(spark, path)
+    sigs.unpersist()
+  }
+
+  private def readMinHashMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/meta").as[(Int, Int, Int)].head()
+  }
+
+  /** Incremental growth: sign a NEW disjoint batch with the index's own
+    * parameters and append signatures + banding rows — the next read sees
+    * the union (same contract as appendLshAssignments / appendIvfAssignments). */
+  def appendMinHashSigs(spark: SparkSession, newDocs: DataFrame, path: String): Unit = {
+    Similarity.checkVersion(spark, path)
+    val (shingleN, k, bands) = readMinHashMeta(spark, path)
+    val sigs = minHashSigs(spark, newDocs, shingleN, k).cache()
+    sigs.write.mode("append").parquet(s"$path/sigs")
+    bandRows(spark, sigs, k, bands).write.mode("append").parquet(s"$path/buckets")
+    sigs.unpersist()
+  }
+
+  /** Full-corpus near-dup pairs off the persisted index — identical output
+    * to `minHashLsh` over the same corpus/parameters, but the signature
+    * pass is a parquet read, not a recompute. */
+  def minHashLshIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      threshold: Double = 0.5,
+      maxBucket: Int = 100000): DataFrame = {
+    Similarity.checkVersion(spark, indexPath)
+    val cands = pairsFromBandRows(
+      spark, spark.read.parquet(s"$indexPath/buckets"), maxBucket)
+    estimatePairs(spark, cands, spark.read.parquet(s"$indexPath/sigs"), threshold)
+  }
+
+  /** Dedup a NEW batch against the indexed corpus (and within itself) —
+    * THE daily-pipeline operator: new signatures are computed once
+    * (batch-sized work), the corpus contributes only its persisted
+    * banding rows, prefiltered MAP-SIDE by a broadcast Bloom filter of
+    * the batch's bucket keys before the shuffle. Correctness is exact:
+    * Bloom false positives form buckets with no new member, dropped by
+    * the `has_new` gate; false negatives don't exist. Output = the pairs
+    * `minHashLsh` over the union corpus would report that touch ≥ 1 new
+    * doc (same banding, same cap semantics, same estimates). New doc_ids
+    * must be disjoint from the corpus (as with the ANN appends). */
+  def minHashDedupBatch(
+      spark: SparkSession,
+      indexPath: String,
+      newDocs: DataFrame,
+      threshold: Double = 0.5,
+      maxBucket: Int = 100000): DataFrame = {
+    import spark.implicits._
+    Similarity.checkVersion(spark, indexPath)
+    val (shingleN, k, bands) = readMinHashMeta(spark, indexPath)
+    val newSigs = minHashSigs(spark, newDocs, shingleN, k).cache()
+    val newBands = bandRows(spark, newSigs, k, bands).cache()
+    val nKeys = newBands.count() // populates both caches
+    val keyCol = xxhash64(col("band"), col("bucket"))
+    val bf = newBands.select(keyCol.as("bk"))
+      .stat.bloomFilter("bk", math.max(nKeys, 1L), 0.01)
+    val bBf = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((x: Long) => bBf.value.mightContain(x))
+    val corpusBands = spark.read.parquet(s"$indexPath/buckets")
+      .filter(mightContain(keyCol))
+    val members = newBands
+      .select($"band", $"bucket", $"doc_id", lit(true).as("is_new"))
+      .union(corpusBands.select($"band", $"bucket", $"doc_id", lit(false).as("is_new")))
+    val cands = members.groupBy($"band", $"bucket")
+      .agg(collect_list(struct($"doc_id", $"is_new")).as("ms"))
+      .filter(size($"ms") > 1 && size($"ms") <= maxBucket &&
+        exists($"ms", m => m.getField("is_new")))
+      .select($"ms").as[Seq[(Long, Boolean)]]
+      .flatMap { ms =>
+        val s = ms.sortBy(_._1)
+        s.indices.iterator.flatMap(i =>
+          (i + 1 until s.length).iterator
+            .filter(j => s(i)._2 || s(j)._2) // pairs touching a new doc only
+            .map(j => (s(i)._1, s(j)._1)))
       }
-      .toDF("doc_a", "doc_b", "est_jaccard")
-      .filter($"est_jaccard" >= threshold)
-      .orderBy($"doc_a", $"doc_b")
+      .toDF("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val allSigs = spark.read.parquet(s"$indexPath/sigs")
+      .union(newSigs.toDF("doc_id", "sig"))
+    estimatePairs(spark, cands, allSigs, threshold)
   }
 
   /** SimHash: 64-bit weighted-bit fingerprint; near-dups differ in few

@@ -28,7 +28,7 @@ object Similarity {
     * the warehouse FormatGuard contract extended to the ANN indexes). */
   val IndexVersion = 2
 
-  private def writeVersion(spark: SparkSession, path: String): Unit = {
+  private[ops] def writeVersion(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     Seq(IndexVersion).toDF("version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/version")

@@ -359,6 +359,51 @@ class OpsSpec extends AnyFunSuite {
     assert(inline.nonEmpty)
   }
 
+  test("minhash index: indexed ≡ one-shot; build-half+append-half ≡ build-all; version guard") {
+    import spark.implicits._
+    val docs = docsWithDups
+    val oneShot = Dedup.minHashLsh(spark, docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(oneShot.nonEmpty)
+
+    val idxAll = java.nio.file.Files.createTempDirectory("mh_all").toString
+    Dedup.buildMinHashIndex(spark, docs, idxAll)
+    assert(Dedup.minHashLshIndexed(spark, idxAll, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq == oneShot)
+
+    val idxInc = java.nio.file.Files.createTempDirectory("mh_inc").toString
+    Dedup.buildMinHashIndex(spark, docs.filter($"doc_id" < 25), idxInc)
+    Dedup.appendMinHashSigs(spark, docs.filter($"doc_id" >= 25), idxInc)
+    assert(Dedup.minHashLshIndexed(spark, idxInc, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq == oneShot)
+
+    // stale/unversioned index refused like the ANN families
+    Seq(1).toDF("version").coalesce(1)
+      .write.mode("overwrite").parquet(s"$idxAll/version")
+    intercept[IllegalStateException](Dedup.minHashLshIndexed(spark, idxAll))
+    intercept[IllegalStateException](Dedup.appendMinHashSigs(spark, docs, idxAll))
+    intercept[IllegalStateException](Dedup.minHashDedupBatch(spark, idxAll, docs))
+  }
+
+  test("minhash dedup-batch-vs-corpus equals the union one-shot restricted to new pairs") {
+    import spark.implicits._
+    val docs = docsWithDups // planted dups live at ids 1000-1002 (the "new" batch)
+    val corpus = docs.filter($"doc_id" < 1000)
+    val batch = docs.filter($"doc_id" >= 1000)
+    val idx = java.nio.file.Files.createTempDirectory("mh_batch").toString
+    Dedup.buildMinHashIndex(spark, corpus, idx)
+    val got = Dedup.minHashDedupBatch(spark, idx, batch, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = Dedup.minHashLsh(spark, docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+      .filter { case (a, b, _) => a >= 1000 || b >= 1000 }
+    assert(got == want)
+    assert(got.nonEmpty) // the planted dups must be found against the corpus
+    // the corpus documents were NOT re-signed: probing only touches the
+    // batch (compute) + the index tables (read)
+    assert(got.exists { case (a, b, est) => a == 0 && b == 1000 && est == 1.0 })
+  }
+
   test("simhash banding survives bucket-overflow scale (Manku block-combination keys)") {
     import spark.implicits._
     // adversarial corpus: every 16-bit band value is shared by > maxBucket
