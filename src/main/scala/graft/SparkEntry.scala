@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.api.SparkSearchEngine
 import graft.build.IndexBuilder
 import graft.corpus.TranscriptGen
-import graft.ops.{Dedup, DetHash, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, DetHash, Multimodal, Pipeline, Similarity, TextOps}
 import graft.store.ParquetTableIO
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -227,6 +227,11 @@ object SparkEntry {
     // deterministic split/shard: the pipeline's hand-off step — stable
     // under reruns/subsets/appends (salt-keyed md5 of the doc id alone)
     "q37_split_shard" -> ((s, dir) => TextOps.splitAssign(s.read.parquet(t(dir, "documents")))),
+    // the composed pipeline: quality → langId → simhash dedup keepers →
+    // split/shard in ONE plan — pins the column contracts BETWEEN the
+    // individually-oracled stages
+    "q39_training_pipeline" -> ((s, dir) =>
+      Pipeline.trainingCorpus(s, s.read.parquet(t(dir, "documents")))),
 
     // ---- similarity search -------------------------------------------
     "q15_ann_cosine_topk" -> ((s, dir) =>
@@ -410,10 +415,12 @@ object SparkEntry {
        |                          THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
        |  FROM embeddings CROSS JOIN pl GROUP BY vec_id)""".stripMargin
 
-  /** q28's WITH RECURSIVE chain up to `reach` — shared with q36. */
-  private val q28ReachPrefix: String =
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t FROM documents),
+  /** q28's WITH RECURSIVE chain up to `reach` — shared with q36; the
+    * doc source is a parameter so q39 can run the identical closure over
+    * its filtered survivor CTE instead of the raw table. */
+  private def reachCtes(src: String): String =
+      s"""tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS t FROM $src),
         |cnt AS (SELECT doc_id, t, count(*)::HUGEINT AS w FROM tok GROUP BY doc_id, t),
         |hv AS (
         |  SELECT doc_id, w,
@@ -439,7 +446,7 @@ object SparkEntry {
         |    CAST(CASE WHEN coalesce(u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
         |              THEN coalesce(u, 0::HUGEINT) - 18446744073709551616::HUGEINT
         |              ELSE coalesce(u, 0::HUGEINT) END AS BIGINT) AS simhash
-        |  FROM documents d LEFT JOIN uns USING (doc_id)),
+        |  FROM $src d LEFT JOIN uns USING (doc_id)),
         |pr AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -449,10 +456,12 @@ object SparkEntry {
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pr),
         |reach(src, lab) AS (
-        |  SELECT doc_id, doc_id FROM documents
+        |  SELECT doc_id, doc_id FROM $src
         |  UNION
         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.src)
         |""".stripMargin
+
+  private val q28ReachPrefix: String = "WITH RECURSIVE " + reachCtes("documents")
 
   def oracleSql: Map[String, String] = Map(
     // minhash LSH near-dup: identical signatures/bands recomputed from the
@@ -727,6 +736,38 @@ object SparkEntry {
         |SELECT c.doc_id, c.cluster_id, s.n_members
         |FROM cl c JOIN sz s USING (cluster_id)
         |WHERE c.doc_id = c.cluster_id ORDER BY c.doc_id""".stripMargin),
+    // composed pipeline: the q12/q13 feature arithmetic, the q26/q28/q36
+    // closure (over the SURVIVOR set), and the q37 split md5 chained in
+    // one statement — the integration oracle
+    "q39_training_pipeline" ->
+      s"""WITH RECURSIVE feat AS (
+         |  SELECT doc_id, text,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+         |    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+         |         THEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         |                t -> t IN ('the','and','of','to','in','is','it','that','for','was','with','are','this','you')))::DOUBLE
+         |              / len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE
+         |         ELSE 0.0 END AS stopword_ratio
+         |  FROM documents),
+         |surv AS (SELECT * FROM feat WHERE n_words >= 15 AND stopword_ratio >= 0.02),
+         |${reachCtes("surv")},
+         |cl AS (SELECT src AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY src),
+         |sz AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id),
+         |keep AS (
+         |  SELECT c.doc_id, c.cluster_id, s.n_members
+         |  FROM cl c JOIN sz s USING (cluster_id) WHERE c.doc_id = c.cluster_id),
+         |spl AS (
+         |  SELECT doc_id, bucket,
+         |    CASE WHEN bucket < 900 THEN 'train'
+         |         WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split,
+         |    CAST((('0x' || substr(md5('graft:shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8) AS INTEGER) AS shard
+         |  FROM (SELECT doc_id,
+         |          CAST((('0x' || substr(md5('graft:split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) AS INTEGER) AS bucket
+         |        FROM keep))
+         |SELECT k.doc_id, f.n_words, f.stopword_ratio, k.cluster_id, k.n_members,
+         |       p.bucket, p.split, p.shard
+         |FROM keep k JOIN feat f USING (doc_id) JOIN spl p USING (doc_id)
+         |ORDER BY k.doc_id""".stripMargin,
     "q10_embedding_neardup" ->
       """SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

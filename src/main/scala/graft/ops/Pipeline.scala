@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end training-data pipeline: the integration contract
+  * over operators that are each individually oracled (q12 quality, q13
+  * langId, q26/q28/q36 simhash dedup, q37 split/shard). 37 isolated rows
+  * prove the operators; this one plan pins the COLUMN CONTRACTS between
+  * them — the thing an integration bug would break first.
+  *
+  * Plan shape at scale: the feature projection + both filters fuse into
+  * ONE codegen'd scan of the corpus (no intermediate materialization);
+  * only the survivors are simhashed (one groupBy on Manku keys), clustered
+  * (one job per CC iteration), and split-assigned (per-row md5, no
+  * shuffle). The final joins are keeper-sized.
+  */
+object Pipeline {
+
+  /** quality filter → language filter → simhash near-dup dedup (keepers
+    * only) → deterministic split/shard. Thresholds are corpus-dependent
+    * knobs; the arithmetic of every stage is bit-identical to its
+    * standalone operator (same Catalyst expressions).
+    *
+    * @return (doc_id, n_words, stopword_ratio, cluster_id, n_members,
+    *         bucket, split, shard) — one row per surviving keeper.
+    */
+  def trainingCorpus(
+      spark: SparkSession,
+      docs: DataFrame,
+      minWords: Int = 15,
+      langThreshold: Double = 0.02,
+      maxBits: Int = 3,
+      blocks: Int = 4): DataFrame = {
+    import spark.implicits._
+    // q12's n_words and q13's stopword_ratio, as single expressions (the
+    // staged selects in TextOps compose the same ops — identical IEEE)
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val words = size(toks).cast("double")
+    val hits = size(filter(toks,
+      t => array_contains(lit(TextOps.StopWords.toArray), t))).cast("double")
+    val feat = docs.select(
+      col("doc_id"),
+      col("text"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+        .cast("long").as("n_words"),
+      when(words > 0, hits / words).otherwise(lit(0.0)).as("stopword_ratio"))
+    val surv = feat
+      .filter($"n_words" >= minWords && $"stopword_ratio" >= langThreshold)
+      .cache() // read by simhash, the CC node universe, and the final join
+    val pairs = Dedup.simHashNearDup(spark, surv, maxBits, blocks)
+    val clusters = Dedup.dedupClusters(spark, pairs, surv.select($"doc_id"))
+    val keepers = Dedup.applyKeepers(spark, surv, clusters)
+    val out = keepers
+      .join(TextOps.splitAssign(keepers.select($"doc_id")), Seq("doc_id"))
+      .join(surv.select($"doc_id", $"n_words", $"stopword_ratio"), Seq("doc_id"))
+      .select($"doc_id", $"n_words", $"stopword_ratio", $"cluster_id",
+        $"n_members", $"bucket", $"split", $"shard")
+      .orderBy($"doc_id")
+    out
+  }
+}

@@ -37,7 +37,7 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private val StopWords = Seq("the", "and", "of", "to", "in", "is", "it",
+  private[ops] val StopWords = Seq("the", "and", "of", "to", "in", "is", "it",
     "that", "for", "was", "with", "are", "this", "you")
 
   /** Language-ID heuristic: English stop-word hit ratio over word tokens.

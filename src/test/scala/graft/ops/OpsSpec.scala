@@ -359,6 +359,32 @@ class OpsSpec extends AnyFunSuite {
     assert(inline.nonEmpty)
   }
 
+  test("composed training pipeline ≡ the standalone stages chained by hand") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val out = Pipeline.trainingCorpus(spark, docs)
+      .as[(Long, Long, Double, Long, Long, Int, String, Int)].collect().toSeq
+    // survivors via the standalone q12/q13 operators
+    val nWords = TextOps.qualityScore(docs)
+      .select("doc_id", "n_words").as[(Long, Long)].collect().toMap
+    val ratios = TextOps.langId(docs)
+      .select("doc_id", "stopword_ratio").as[(Long, Double)].collect().toMap
+    val survIds = nWords.keySet.filter(id => nWords(id) >= 15 && ratios(id) >= 0.02)
+    assert(survIds.nonEmpty && survIds.size < nWords.size, "filters must bite")
+    val surv = docs.filter($"doc_id".isin(survIds.toSeq: _*))
+    // dedup + split via the standalone q26/q28/q36/q37 operators
+    val keepers = Dedup.applyKeepers(spark, surv,
+      Dedup.dedupClusters(spark, Dedup.simHashNearDup(spark, surv), surv.select($"doc_id")))
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> ((r._1, r._3))).toMap
+    val split = TextOps.splitAssign(surv)
+      .as[(Long, Int, String, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = keepers.toSeq.map { case (docId, (cid, n)) =>
+      val (bucket, sp, shard) = split(docId)
+      (docId, nWords(docId), ratios(docId), cid, n, bucket, sp, shard)
+    }.sortBy(_._1)
+    assert(out == want)
+  }
+
   test("minhash index: indexed ≡ one-shot; build-half+append-half ≡ build-all; version guard") {
     import spark.implicits._
     val docs = docsWithDups
