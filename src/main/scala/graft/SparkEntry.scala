@@ -326,10 +326,25 @@ object SparkEntry {
     "q34_bulk_mixed_search" -> ((s, dir) =>
       transcriptEngine(s, dir).searchMany(bulkMixedQueries)
         .select(col("query"), col("docId"), col("conv_id"), col("turn_idx"),
+          round(col("score") * 1e9).cast("long").as("score_e9"))),
+    // bulk BOOLEAN/mixed queries (multi-atom, the shapes searchMany
+    // rejects): operand fetch shared across the batch — one pruned term
+    // scan + one phrase shuffle — with the per-query combine bit-identical
+    // to topKAuto (q21/q22 are literally two of the batch's queries)
+    "q40_bulk_boolean_search" -> ((s, dir) =>
+      transcriptEngine(s, dir).searchManyAuto(bulkBooleanQueries)
+        .select(col("query"), col("docId"), col("conv_id"), col("turn_idx"),
           round(col("score") * 1e9).cast("long").as("score_e9"))))
 
   private val bulkMixedQueries: Seq[String] =
     Seq("whale", "fish", "\"blue whale\"", "\"red fish\"")
+
+  /** The q40 batch: exactly the q21 boolean and q22 mixed queries, so the
+    * oracle is their two (hand-derived, already-green) SQL pipelines
+    * UNION ALL'd with the query string attached. */
+  private val bulkBooleanQueries: Seq[String] = Seq(
+    "(\"blue whale\" OR \"query engine\") NOT \"red fish\"",
+    "\"blue whale\" whale engine")
 
   /** The q31 bulk query set with each bare term's token forms in this
     * corpus (raw bare-term lookup hits the stem key directly for these —
@@ -462,6 +477,112 @@ object SparkEntry {
         |""".stripMargin
 
   private val q28ReachPrefix: String = "WITH RECURSIVE " + reachCtes("documents")
+
+  private val q21OracleSql: String =
+    """WITH raw AS (
+        |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
+        |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+        |        t -> trim(t, '''-')), t -> t <> '') AS toks
+        |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+        |pos AS (
+        |  SELECT docId, conv_id, turn_idx, len(toks) AS doc_len,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) = 'blue' THEN i-1 ELSE -1 END), p -> p >= 0) AS bp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('whale','whales') THEN i-1 ELSE -1 END), p -> p >= 0) AS wp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('query','queries','querying') THEN i-1 ELSE -1 END), p -> p >= 0) AS qp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('engine','engines') THEN i-1 ELSE -1 END), p -> p >= 0) AS ep,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) = 'red' THEN i-1 ELSE -1 END), p -> p >= 0) AS rp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('fish','fishes') THEN i-1 ELSE -1 END), p -> p >= 0) AS fp
+        |  FROM raw),
+        |tfs AS (
+        |  SELECT docId, conv_id, turn_idx, doc_len,
+        |    CASE WHEN len(bp)=0 THEN 0 WHEN len(wp)=0 THEN len(bp) ELSE len(list_intersect(wp, list_transform(bp, q -> q+1))) END AS tfa,
+        |    CASE WHEN len(qp)=0 THEN 0 WHEN len(ep)=0 THEN len(qp) ELSE len(list_intersect(ep, list_transform(qp, q -> q+1))) END AS tfb,
+        |    CASE WHEN len(rp)=0 THEN 0 WHEN len(fp)=0 THEN len(rp) ELSE len(list_intersect(fp, list_transform(rp, q -> q+1))) END AS tfc
+        |  FROM pos),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl,
+        |         (count(*) FILTER (WHERE tfa > 0))::DOUBLE AS dfa,
+        |         (count(*) FILTER (WHERE tfb > 0))::DOUBLE AS dfb,
+        |         (count(*) FILTER (WHERE tfc > 0))::DOUBLE AS dfc
+        |       FROM tfs),
+        |sc AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    CASE WHEN tfa > 0 THEN ln(((n - dfa) + 0.5)/(dfa + 0.5) + 1.0) * ((tfa::DOUBLE * 2.5)/(tfa::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS sa,
+        |    CASE WHEN tfb > 0 THEN ln(((n - dfb) + 0.5)/(dfb + 0.5) + 1.0) * ((tfb::DOUBLE * 2.5)/(tfb::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS sb,
+        |    CASE WHEN tfc > 0 THEN ln(((n - dfc) + 0.5)/(dfc + 0.5) + 1.0) * ((tfc::DOUBLE * 2.5)/(tfc::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS scc
+        |  FROM tfs, st),
+        |mxs AS (SELECT max(sa) AS mxa, max(sb) AS mxb, max(scc) AS mxc FROM sc),
+        |normed AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    CASE WHEN sa > 0 THEN sa/mxa ELSE 0.0 END AS a,
+        |    CASE WHEN sb > 0 THEN sb/mxb ELSE 0.0 END AS b,
+        |    CASE WHEN scc > 0 THEN scc/mxc ELSE 0.0 END AS c
+        |  FROM sc, mxs),
+        |fin AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    1.0*(1.0 - c) + 1.0*greatest(b, a) AS sumv,
+        |    least(1.0 - c, greatest(b, a)) AS em
+        |  FROM normed),
+        |m2 AS (SELECT max(sumv) AS m FROM fin),
+        |res AS (SELECT docId, conv_id, turn_idx, 0.4*(sumv/m) + 0.6*em AS score FROM fin, m2)
+        |SELECT docId, conv_id, turn_idx, CAST(round(score*1000000000.0) AS BIGINT) AS score_e9
+        |FROM res ORDER BY score DESC, docId ASC LIMIT 100""".stripMargin
+
+  private val q22OracleSql: String =
+    """WITH raw AS (
+        |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
+        |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+        |        t -> trim(t, '''-')), t -> t <> '') AS toks
+        |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+        |pos AS (
+        |  SELECT docId, conv_id, turn_idx, len(toks) AS doc_len,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) = 'blue' THEN i-1 ELSE -1 END), p -> p >= 0) AS bp,
+        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('whale','whales') THEN i-1 ELSE -1 END), p -> p >= 0) AS wp
+        |  FROM raw),
+        |tfs AS (
+        |  SELECT docId, conv_id, turn_idx, doc_len,
+        |    CASE WHEN len(bp)=0 THEN 0 WHEN len(wp)=0 THEN len(bp) ELSE len(list_intersect(wp, list_transform(bp, q -> q+1))) END AS tfp,
+        |    len(wp) AS tft
+        |  FROM pos),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl,
+        |         (count(*) FILTER (WHERE tfp > 0))::DOUBLE AS dfp,
+        |         (count(*) FILTER (WHERE tft > 0))::DOUBLE AS dft
+        |       FROM tfs),
+        |sc AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    CASE WHEN tfp > 0 THEN ln(((n - dfp) + 0.5)/(dfp + 0.5) + 1.0) * ((tfp::DOUBLE * 2.5)/(tfp::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS sp,
+        |    CASE WHEN tft > 0 THEN ln(((n - dft) + 0.5)/(dft + 0.5) + 1.0) * ((tft::DOUBLE * 2.5)/(tft::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS stw
+        |  FROM tfs, st),
+        |mxs AS (SELECT max(sp) AS mxp, max(stw) AS mxt FROM sc),
+        |normed AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    CASE WHEN sp > 0 THEN sp/mxp ELSE 0.0 END AS p,
+        |    CASE WHEN stw > 0 THEN stw/mxt ELSE 0.0 END AS tw
+        |  FROM sc, mxs),
+        |stage1 AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    1.0*0.0 + 1.0*tw AS sum1, p
+        |  FROM normed),
+        |m1 AS (SELECT max(sum1) AS m1, max(p) AS mp FROM stage1),
+        |stage2 AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    0.4*(CASE WHEN m1 > 0 THEN sum1/m1 ELSE sum1 END) + 0.6*least(0.0, sum1) AS tp,
+        |    1.35*(0.4*(CASE WHEN mp > 0 THEN p/mp ELSE p END) + 0.6*p)
+        |      + 0.0*(0.4*(CASE WHEN mp > 0 THEN p/mp ELSE p END) + 0.6*p) AS boosted
+        |  FROM stage1, m1),
+        |stage3 AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    1.0*boosted + 1.0*tp AS sum2, least(boosted, tp) AS em
+        |  FROM stage2),
+        |m2 AS (SELECT max(sum2) AS m2 FROM stage3),
+        |stage4 AS (
+        |  SELECT docId, conv_id, turn_idx,
+        |    0.4*(CASE WHEN m2 > 0 THEN sum2/m2 ELSE sum2 END) + 0.6*em AS res0
+        |  FROM stage3, m2),
+        |m3 AS (SELECT max(res0) AS m3 FROM stage4),
+        |res AS (SELECT docId, conv_id, turn_idx,
+        |          CASE WHEN m3 > 0 THEN res0/m3 ELSE res0 END AS score FROM stage4, m3)
+        |SELECT docId, conv_id, turn_idx, CAST(round(score*1000000000.0) AS BIGINT) AS score_e9
+        |FROM res ORDER BY score DESC, docId ASC LIMIT 100""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // minhash LSH near-dup: identical signatures/bands recomputed from the
@@ -927,114 +1048,12 @@ object SparkEntry {
     // Stem token forms (graft.tools.StemMapCheck): blue={blue},
     // whale={whale,whales}, queri={query,queries,querying},
     // engin={engine,engines}, red={red}, fish={fish,fishes}.
-    "q21_bm25_boolean" ->
-      """WITH raw AS (
-        |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
-        |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
-        |        t -> trim(t, '''-')), t -> t <> '') AS toks
-        |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
-        |pos AS (
-        |  SELECT docId, conv_id, turn_idx, len(toks) AS doc_len,
-        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) = 'blue' THEN i-1 ELSE -1 END), p -> p >= 0) AS bp,
-        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('whale','whales') THEN i-1 ELSE -1 END), p -> p >= 0) AS wp,
-        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('query','queries','querying') THEN i-1 ELSE -1 END), p -> p >= 0) AS qp,
-        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('engine','engines') THEN i-1 ELSE -1 END), p -> p >= 0) AS ep,
-        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) = 'red' THEN i-1 ELSE -1 END), p -> p >= 0) AS rp,
-        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('fish','fishes') THEN i-1 ELSE -1 END), p -> p >= 0) AS fp
-        |  FROM raw),
-        |tfs AS (
-        |  SELECT docId, conv_id, turn_idx, doc_len,
-        |    CASE WHEN len(bp)=0 THEN 0 WHEN len(wp)=0 THEN len(bp) ELSE len(list_intersect(wp, list_transform(bp, q -> q+1))) END AS tfa,
-        |    CASE WHEN len(qp)=0 THEN 0 WHEN len(ep)=0 THEN len(qp) ELSE len(list_intersect(ep, list_transform(qp, q -> q+1))) END AS tfb,
-        |    CASE WHEN len(rp)=0 THEN 0 WHEN len(fp)=0 THEN len(rp) ELSE len(list_intersect(fp, list_transform(rp, q -> q+1))) END AS tfc
-        |  FROM pos),
-        |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl,
-        |         (count(*) FILTER (WHERE tfa > 0))::DOUBLE AS dfa,
-        |         (count(*) FILTER (WHERE tfb > 0))::DOUBLE AS dfb,
-        |         (count(*) FILTER (WHERE tfc > 0))::DOUBLE AS dfc
-        |       FROM tfs),
-        |sc AS (
-        |  SELECT docId, conv_id, turn_idx,
-        |    CASE WHEN tfa > 0 THEN ln(((n - dfa) + 0.5)/(dfa + 0.5) + 1.0) * ((tfa::DOUBLE * 2.5)/(tfa::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS sa,
-        |    CASE WHEN tfb > 0 THEN ln(((n - dfb) + 0.5)/(dfb + 0.5) + 1.0) * ((tfb::DOUBLE * 2.5)/(tfb::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS sb,
-        |    CASE WHEN tfc > 0 THEN ln(((n - dfc) + 0.5)/(dfc + 0.5) + 1.0) * ((tfc::DOUBLE * 2.5)/(tfc::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS scc
-        |  FROM tfs, st),
-        |mxs AS (SELECT max(sa) AS mxa, max(sb) AS mxb, max(scc) AS mxc FROM sc),
-        |normed AS (
-        |  SELECT docId, conv_id, turn_idx,
-        |    CASE WHEN sa > 0 THEN sa/mxa ELSE 0.0 END AS a,
-        |    CASE WHEN sb > 0 THEN sb/mxb ELSE 0.0 END AS b,
-        |    CASE WHEN scc > 0 THEN scc/mxc ELSE 0.0 END AS c
-        |  FROM sc, mxs),
-        |fin AS (
-        |  SELECT docId, conv_id, turn_idx,
-        |    1.0*(1.0 - c) + 1.0*greatest(b, a) AS sumv,
-        |    least(1.0 - c, greatest(b, a)) AS em
-        |  FROM normed),
-        |m2 AS (SELECT max(sumv) AS m FROM fin),
-        |res AS (SELECT docId, conv_id, turn_idx, 0.4*(sumv/m) + 0.6*em AS score FROM fin, m2)
-        |SELECT docId, conv_id, turn_idx, CAST(round(score*1000000000.0) AS BIGINT) AS score_e9
-        |FROM res ORDER BY score DESC, docId ASC LIMIT 100""".stripMargin,
+    "q21_bm25_boolean" -> q21OracleSql,
     // Mixed '"blue whale" whale engine': bare terms are looked up RAW
     // (reference quirk) — 'whale' hits the whale stem key, 'engine' misses
     // ('engin' is the key) and contributes an all-zero vector; the phrase
     // result is PHRASE_BOOSTed onto the term stack, combined, normalized.
-    "q22_bm25_mixed" ->
-      """WITH raw AS (
-        |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
-        |    list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
-        |        t -> trim(t, '''-')), t -> t <> '') AS toks
-        |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
-        |pos AS (
-        |  SELECT docId, conv_id, turn_idx, len(toks) AS doc_len,
-        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) = 'blue' THEN i-1 ELSE -1 END), p -> p >= 0) AS bp,
-        |    list_filter(list_transform(toks, (t, i) -> CASE WHEN lower(t) IN ('whale','whales') THEN i-1 ELSE -1 END), p -> p >= 0) AS wp
-        |  FROM raw),
-        |tfs AS (
-        |  SELECT docId, conv_id, turn_idx, doc_len,
-        |    CASE WHEN len(bp)=0 THEN 0 WHEN len(wp)=0 THEN len(bp) ELSE len(list_intersect(wp, list_transform(bp, q -> q+1))) END AS tfp,
-        |    len(wp) AS tft
-        |  FROM pos),
-        |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl,
-        |         (count(*) FILTER (WHERE tfp > 0))::DOUBLE AS dfp,
-        |         (count(*) FILTER (WHERE tft > 0))::DOUBLE AS dft
-        |       FROM tfs),
-        |sc AS (
-        |  SELECT docId, conv_id, turn_idx,
-        |    CASE WHEN tfp > 0 THEN ln(((n - dfp) + 0.5)/(dfp + 0.5) + 1.0) * ((tfp::DOUBLE * 2.5)/(tfp::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS sp,
-        |    CASE WHEN tft > 0 THEN ln(((n - dft) + 0.5)/(dft + 0.5) + 1.0) * ((tft::DOUBLE * 2.5)/(tft::DOUBLE + 1.5*(0.25 + 0.75*(doc_len::DOUBLE/avgdl)))) ELSE 0.0 END AS stw
-        |  FROM tfs, st),
-        |mxs AS (SELECT max(sp) AS mxp, max(stw) AS mxt FROM sc),
-        |normed AS (
-        |  SELECT docId, conv_id, turn_idx,
-        |    CASE WHEN sp > 0 THEN sp/mxp ELSE 0.0 END AS p,
-        |    CASE WHEN stw > 0 THEN stw/mxt ELSE 0.0 END AS tw
-        |  FROM sc, mxs),
-        |stage1 AS (
-        |  SELECT docId, conv_id, turn_idx,
-        |    1.0*0.0 + 1.0*tw AS sum1, p
-        |  FROM normed),
-        |m1 AS (SELECT max(sum1) AS m1, max(p) AS mp FROM stage1),
-        |stage2 AS (
-        |  SELECT docId, conv_id, turn_idx,
-        |    0.4*(CASE WHEN m1 > 0 THEN sum1/m1 ELSE sum1 END) + 0.6*least(0.0, sum1) AS tp,
-        |    1.35*(0.4*(CASE WHEN mp > 0 THEN p/mp ELSE p END) + 0.6*p)
-        |      + 0.0*(0.4*(CASE WHEN mp > 0 THEN p/mp ELSE p END) + 0.6*p) AS boosted
-        |  FROM stage1, m1),
-        |stage3 AS (
-        |  SELECT docId, conv_id, turn_idx,
-        |    1.0*boosted + 1.0*tp AS sum2, least(boosted, tp) AS em
-        |  FROM stage2),
-        |m2 AS (SELECT max(sum2) AS m2 FROM stage3),
-        |stage4 AS (
-        |  SELECT docId, conv_id, turn_idx,
-        |    0.4*(CASE WHEN m2 > 0 THEN sum2/m2 ELSE sum2 END) + 0.6*em AS res0
-        |  FROM stage3, m2),
-        |m3 AS (SELECT max(res0) AS m3 FROM stage4),
-        |res AS (SELECT docId, conv_id, turn_idx,
-        |          CASE WHEN m3 > 0 THEN res0/m3 ELSE res0 END AS score FROM stage4, m3)
-        |SELECT docId, conv_id, turn_idx, CAST(round(score*1000000000.0) AS BIGINT) AS score_e9
-        |FROM res ORDER BY score DESC, docId ASC LIMIT 100""".stripMargin,
+    "q22_bm25_mixed" -> q22OracleSql,
     "q15_ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
@@ -1060,7 +1079,17 @@ object SparkEntry {
     "q33_ann_ivfpq_topk" -> ivfPqOracleSql,
     // bulk ANN: the q32 pipeline once per query vector over the SAME
     // codes/codebook CTEs, UNION ALL'd with the query id attached
-    "q35_ann_pq_bulk" -> pqBulkOracleSql(Seq(0L, 1L)))
+    "q35_ann_pq_bulk" -> pqBulkOracleSql(Seq(0L, 1L)),
+    // bulk boolean/mixed: per-query results must equal the single-query
+    // evaluations, so the oracle IS the q21 + q22 pipelines union'd with
+    // the query string attached
+    "q40_bulk_boolean_search" ->
+      s"""SELECT '("blue whale" OR "query engine") NOT "red fish"' AS query, *
+         |FROM ($q21OracleSql)
+         |UNION ALL
+         |SELECT '"blue whale" whale engine' AS query, *
+         |FROM ($q22OracleSql)
+         |ORDER BY query, score_e9 DESC, docId ASC""".stripMargin)
 
   /** q35: the q32 shortlist + re-rank per query id, shared base CTEs. */
   private def pqBulkOracleSql(qids: Seq[Long]): String = {

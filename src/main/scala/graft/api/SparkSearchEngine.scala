@@ -216,14 +216,19 @@ final class SparkSearchEngine(
   final class TooBigForDriver extends RuntimeException
   type DScores = (scala.collection.Map[Long, Double], Double)
 
-  object DriverAlgebra extends ScoreAlgebra[DScores] {
-    private val limit = params.driverAlgebraMaxDocs
+  /** Scalar sparse-vector algebra with a PLUGGABLE operand fetch: the
+    * per-query path fetches each atom's rows with its own distributed
+    * scan; the bulk path (`searchManyAuto`) prefetches every atom of the
+    * whole batch in shared scans and hands the rows over from a map.
+    * Everything after fetch is the same code, so the two paths are
+    * bit-identical by construction. Fetchers throw TooBigForDriver when
+    * an operand exceeds `driverAlgebraMaxDocs`. */
+  private final class DriverScalarAlgebra(
+      fetchTermRows: String => Array[(Long, Int, Int)], // post-stem key → (docId, tf, doc_len)
+      fetchPhraseRows: Vector[String] => Array[(Long, Int, Int)])
+    extends ScoreAlgebra[DScores] {
 
-    private def fetch(df: DataFrame): Array[(Long, Int, Int)] = {
-      val rows = df.limit(limit + 1).as[(Long, Int, Int)].collect()
-      if (rows.length > limit) throw new TooBigForDriver
-      rows
-    }
+    private val limit = params.driverAlgebraMaxDocs
 
     private def bm25(tf: Double, dl: Double, dfCount: Double): Double = {
       val n = stats.total_docs.toDouble
@@ -250,29 +255,13 @@ final class SparkSearchEngine(
 
     override def termScore(rawTerm: String): DScores = {
       val key = if (params.stemBareTerms) TextPipeline.term(rawTerm) else rawTerm
-      scoreRows(fetch(postings.filter($"term" === key)
-        .select($"docId", $"tf", $"doc_len")))
+      scoreRows(fetchTermRows(key))
     }
 
     override def phraseScore(phraseText: String): DScores = {
       val stems = TextPipeline.tokenizeQuery(phraseText)
       if (stems.isEmpty) return empty
-      val base = postings.filter($"term".isin(stems.distinct: _*))
-      val rows = headDocFilter(Seq(stems.head)).fold(base)(base.filter)
-        .select($"docId", $"doc_len", $"term", $"positions_vb")
-      val tfs = rows
-        .groupBy($"docId")
-        .agg(first($"doc_len").as("doc_len"),
-          collect_list(struct($"term", $"positions_vb")).as("tp"))
-        .as[(Long, Int, Seq[(String, Array[Byte])])]
-        .map { case (docId, dl, tp) =>
-          val termPos = tp.iterator.map { case (t, vb) =>
-            t -> graft.codec.VarByte.decodePositions(vb).toSeq
-          }.toMap
-          (docId, dl, PhraseMatch.phraseTf(stems, termPos))
-        }.filter(_._3 > 0)
-        .toDF("docId", "doc_len", "tf")
-      scoreRows(fetch(tfs.select($"docId", $"tf", $"doc_len")))
+      scoreRows(fetchPhraseRows(stems))
     }
 
     override def not(a: DScores): DScores =
@@ -302,28 +291,72 @@ final class SparkSearchEngine(
     }
   }
 
+  private def fetchLimited(df: DataFrame): Array[(Long, Int, Int)] = {
+    val rows = df.limit(params.driverAlgebraMaxDocs + 1).as[(Long, Int, Int)].collect()
+    if (rows.length > params.driverAlgebraMaxDocs) throw new TooBigForDriver
+    rows
+  }
+
+  /** The per-phrase positional-fold frame (docId, doc_len, tf) — shared by
+    * the distributed per-query fetch below and Algebra.phraseScore's shape. */
+  private def phraseTfRows(stems: Vector[String]): Array[(Long, Int, Int)] = {
+    val base = postings.filter($"term".isin(stems.distinct: _*))
+    val rows = headDocFilter(Seq(stems.head)).fold(base)(base.filter)
+      .select($"docId", $"doc_len", $"term", $"positions_vb")
+    val tfs = rows
+      .groupBy($"docId")
+      .agg(first($"doc_len").as("doc_len"),
+        collect_list(struct($"term", $"positions_vb")).as("tp"))
+      .as[(Long, Int, Seq[(String, Array[Byte])])]
+      .map { case (docId, dl, tp) =>
+        val termPos = tp.iterator.map { case (t, vb) =>
+          t -> graft.codec.VarByte.decodePositions(vb).toSeq
+        }.toMap
+        (docId, dl, PhraseMatch.phraseTf(stems, termPos))
+      }.filter(_._3 > 0)
+      .toDF("docId", "doc_len", "tf")
+    fetchLimited(tfs.select($"docId", $"tf", $"doc_len"))
+  }
+
+  /** Per-query driver algebra: one distributed scan per atom. */
+  private lazy val DriverAlgebra: ScoreAlgebra[DScores] = new DriverScalarAlgebra(
+    key => fetchLimited(postings.filter($"term" === key)
+      .select($"docId", $"tf", $"doc_len")),
+    stems => phraseTfRows(stems))
+
+  /** The top-k tail over a driver-side sparse vector: accuracy filter,
+    * (score desc, docId asc) order, dense fill with absent docs when the
+    * default can still qualify. */
+  private def driverTopK(
+      m: scala.collection.Map[Long, Double],
+      default: Double,
+      accuracy: Double,
+      k: Int): Vector[(Long, Double)] = {
+    val sparseTop = m.toVector.filter(_._2 >= accuracy)
+      .sortBy { case (d, s) => (-s, d) }.take(k)
+    val needFill = default >= accuracy &&
+      (sparseTop.length < k || sparseTop.last._2 <= default)
+    if (!needFill) sparseTop
+    else {
+      val present = m.keySet
+      val absentSrc =
+        if (present.size <= 10000)
+          dict.select($"docId").filter(!$"docId".isin(present.toSeq: _*))
+        else
+          dict.select($"docId").join(
+            spark.createDataset(present.toSeq).toDF("docId"),
+            Seq("docId"), "left_anti")
+      val absent = absentSrc.orderBy($"docId".asc).limit(k)
+        .as[Long].collect().toVector.map(d => (d, default))
+      (sparseTop ++ absent).sortBy { case (d, sc) => (-sc, d) }.take(k)
+    }
+  }
+
   /** Driver-algebra top-k; None when an operand is too big for the driver. */
   def topKDriver(query: String, accuracy: Double, k: Int): Option[Vector[(Long, Double)]] =
     try {
       val (m, default) = QueryEvaluator.evaluate(query, DriverAlgebra, params)
-      val sparseTop = m.toVector.filter(_._2 >= accuracy)
-        .sortBy { case (d, s) => (-s, d) }.take(k)
-      val needFill = default >= accuracy &&
-        (sparseTop.length < k || sparseTop.last._2 <= default)
-      if (!needFill) Some(sparseTop)
-      else {
-        val present = m.keySet
-        val absentSrc =
-          if (present.size <= 10000)
-            dict.select($"docId").filter(!$"docId".isin(present.toSeq: _*))
-          else
-            dict.select($"docId").join(
-              spark.createDataset(present.toSeq).toDF("docId"),
-              Seq("docId"), "left_anti")
-        val absent = absentSrc.orderBy($"docId".asc).limit(k)
-          .as[Long].collect().toVector.map(d => (d, default))
-        Some((sparseTop ++ absent).sortBy { case (d, sc) => (-sc, d) }.take(k))
-      }
+      Some(driverTopK(m, default, accuracy, k))
     } catch { case _: TooBigForDriver => None }
 
   /** Top-k (score desc, docId asc) after the accuracy filter
@@ -497,6 +530,116 @@ final class SparkSearchEngine(
         (if (phraseAtoms.nonEmpty) Seq(phraseAtomFrame(phraseAtoms)) else Nil)
     require(frames.nonEmpty, "no evaluable atoms (all phrases tokenized to nothing)")
     bulkTopK(frames.reduce(_ union _), k, accuracy)
+  }
+
+  /** Bulk evaluation of ARBITRARY queries — boolean, NOT, brackets and
+    * mixed term+phrase shapes included — with the distributed operand
+    * FETCH shared across the whole batch: ONE pruned postings scan for
+    * every bare-term atom of every query, and ONE docId shuffle (head-
+    * stem Bloom-prefiltered) folding every phrase atom of every query
+    * doc-locally. The boolean combine itself is per-query driver
+    * arithmetic over the prefetched sparse vectors (`DriverScalarAlgebra`
+    * — the same code the single-query driver path runs, so results are
+    * bit-identical to `topKAuto` by construction; EngineSpec asserts it).
+    * A query whose operand exceeds `driverAlgebraMaxDocs` falls back to
+    * its own `topKAuto` evaluation — correct, just unshared.
+    *
+    * This is the filtering-pipeline shape: thousands of `"a" AND "b"`
+    * style queries pay atom-count scans, not query-count scans.
+    *
+    * @return (query, docId, conv_id, turn_idx, score), k rows max per query
+    */
+  def searchManyAuto(
+      queries: Seq[String],
+      k: Int = params.topK,
+      accuracy: Double = 0.0): DataFrame = {
+    require(queries.nonEmpty, "searchManyAuto needs at least one query")
+    val qs = queries.distinct
+    val limit = params.driverAlgebraMaxDocs
+    def stemKey(t: String) = if (params.stemBareTerms) TextPipeline.term(t) else t
+    val lexed = qs.map(q => q -> QueryLexer.lex(q))
+    val allTermKeys = lexed.flatMap(_._2.collect {
+      case QueryLexer.QTerm(t) => stemKey(t)
+    }).distinct
+    val allPhrases = lexed.flatMap(_._2.collect {
+      case QueryLexer.QPhrase(p) => TextPipeline.tokenizeQuery(p)
+    }).distinct.filter(_.nonEmpty)
+
+    // ---- shared term fetch: size gate, then ONE pruned scan ------------
+    val termCounts: Map[String, Long] =
+      if (allTermKeys.isEmpty) Map.empty
+      else postings.filter($"term".isin(allTermKeys: _*))
+        .groupBy($"term").agg(count(lit(1)).as("c"))
+        .as[(String, Long)].collect().toMap
+    val oversizedTerms = termCounts.collect { case (t, c) if c > limit => t }.toSet
+    val okTerms = allTermKeys.filterNot(oversizedTerms)
+    val termRows: Map[String, Array[(Long, Int, Int)]] =
+      if (okTerms.isEmpty) Map.empty
+      else postings.filter($"term".isin(okTerms: _*))
+        .select($"term", $"docId", $"tf", $"doc_len")
+        .as[(String, Long, Int, Int)].collect()
+        .groupBy(_._1).map { case (t, rs) => t -> rs.map(r => (r._2, r._3, r._4)) }
+
+    // ---- shared phrase fetch: one shuffle, per-phrase doc-local fold ---
+    var oversizedPhrases = Set.empty[Vector[String]]
+    val phraseRows: Map[Vector[String], Array[(Long, Int, Int)]] =
+      if (allPhrases.isEmpty) Map.empty
+      else {
+        val allStems = allPhrases.flatten.distinct
+        val heads = allPhrases.map(_.head).distinct
+        val base = postings.filter($"term".isin(allStems: _*))
+        val perDoc = headDocFilter(heads).fold(base)(base.filter)
+          .select($"docId", $"doc_len", $"term", $"positions_vb")
+          .groupBy($"docId")
+          .agg(first($"doc_len").as("doc_len"),
+            collect_list(struct($"term", $"positions_vb")).as("tp"))
+          .as[(Long, Int, Seq[(String, Array[Byte])])]
+        val bPhrases = spark.sparkContext.broadcast(allPhrases.zipWithIndex.toArray)
+        val folded = track(perDoc.flatMap { case (docId, dl, tp) =>
+          val termPos = tp.iterator.map { case (t, vb) =>
+            t -> graft.codec.VarByte.decodePositions(vb).toSeq
+          }.toMap
+          bPhrases.value.iterator.flatMap { case (stems, i) =>
+            val tf = PhraseMatch.phraseTf(stems, termPos)
+            if (tf > 0) Iterator.single((i, docId, tf, dl)) else Iterator.empty
+          }
+        }.toDF("pidx", "docId", "tf", "doc_len").cache())
+        val counts = folded.groupBy($"pidx").agg(count(lit(1)).as("c"))
+          .as[(Int, Long)].collect().toMap
+        oversizedPhrases = counts.collect {
+          case (i, c) if c > limit => allPhrases(i)
+        }.toSet
+        val okIdx = counts.collect { case (i, c) if c <= limit => i }.toSeq
+        if (okIdx.isEmpty) Map.empty
+        else folded.filter($"pidx".isin(okIdx: _*))
+          .as[(Int, Long, Int, Int)].collect()
+          .groupBy(_._1)
+          .map { case (i, rs) => allPhrases(i) -> rs.map(r => (r._2, r._3, r._4)) }
+      }
+
+    // ---- per-query combine: pure arithmetic over the prefetched atoms --
+    val bulkAlg: ScoreAlgebra[DScores] = new DriverScalarAlgebra(
+      key =>
+        if (oversizedTerms(key)) throw new TooBigForDriver
+        else termRows.getOrElse(key, Array.empty),
+      stems =>
+        if (oversizedPhrases(stems)) throw new TooBigForDriver
+        else phraseRows.getOrElse(stems, Array.empty))
+    val perQuery = qs.map { q =>
+      val top =
+        try {
+          val (m, default) = QueryEvaluator.evaluate(q, bulkAlg, params)
+          driverTopK(m, default, accuracy, k)
+        } catch { case _: TooBigForDriver => topKAuto(q, accuracy, k) }
+      q -> top
+    }
+    releaseCaches()
+    val rows = perQuery.flatMap { case (q, top) =>
+      top.map { case (d, s) => (q, d, s) }
+    }
+    spark.createDataset(rows).toDF("query", "docId", "score")
+      .join(dict, Seq("docId"))
+      .select($"query", $"docId", $"conv_id", $"turn_idx", $"score")
   }
 
   /** (query, docId, s = raw BM25) candidates for bare-term atoms — the

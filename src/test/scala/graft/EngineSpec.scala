@@ -235,6 +235,41 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(forced) == rows(engine))
   }
 
+  test("bulk boolean/mixed search (searchManyAuto) bit-identical to topKAuto per query") {
+    val (io, _) = built
+    import spark.implicits._
+    val engine = new SparkSearchEngine(spark, io)
+    val qs = Seq(
+      "(\"blue whale\" OR \"query engine\") NOT \"red fish\"",
+      "\"blue whale\" whale engine",
+      "\"blue whale\" AND \"red fish\"",
+      "NOT \"blue whale\"", // nonzero default → dense fill path
+      "whale", // single term: WAND on the single path, algebra in bulk
+      "\"blue whale\"",
+      "\"zzz nothing\"")
+    def collectBulk(e: SparkSearchEngine, acc: Double) =
+      e.searchManyAuto(qs, k = 50, accuracy = acc)
+        .select("query", "docId", "score").as[(String, Long, Double)].collect()
+        .groupBy(_._1)
+        .map { case (q, rs) =>
+          q -> rs.map(r => (r._2, r._3)).sortBy { case (d, s) => (-s, d) }.toVector
+        }
+    for (acc <- Seq(0.0, Double.MinPositiveValue, 0.4)) {
+      val bulk = collectBulk(engine, acc)
+      qs.foreach { q =>
+        assert(bulk.getOrElse(q, Vector.empty) == engine.topKAuto(q, acc, 50),
+          s"query '$q' at accuracy $acc")
+      }
+    }
+    // forced per-query fallback (operands exceed the driver cap): identical
+    val tiny = new SparkSearchEngine(spark, io, GraftParams(driverAlgebraMaxDocs = 2))
+    val bulkTiny = collectBulk(tiny, 0.0)
+    qs.foreach { q =>
+      assert(bulkTiny.getOrElse(q, Vector.empty) == engine.topKAuto(q, 0.0, 50),
+        s"fallback query '$q'")
+    }
+  }
+
   test("bulk snippets equal the single-query search snippets") {
     val (io, _) = built
     import spark.implicits._
