@@ -164,6 +164,21 @@ final class SearchEngineServer(
           .as[(String, Long, String, Int, Double)].collect().toSeq
           .map { case (q, d, c, t, s) => (q, d, c, t, s, "") }
     }
+    groupedHitsJson(queries, rows)
+  }
+
+  /** Bulk ARBITRARY-shape hits (boolean/NOT/brackets/mixed — the shapes
+    * /searchMany rejects) through `searchManyAuto`: operand fetch shared
+    * across the batch, per-query results ≡ the /search evaluation. */
+  private def searchManyAutoJson(queries: Seq[String], accuracy: Double): String =
+    groupedHitsJson(queries,
+      engine.searchManyAuto(queries, params.topK, accuracy)
+        .as[(String, Long, String, Int, Double)].collect().toSeq
+        .map { case (q, d, c, t, s) => (q, d, c, t, s, "") })
+
+  private def groupedHitsJson(
+      queries: Seq[String],
+      rows: Seq[(String, Long, String, Int, Double, String)]): String = {
     val byQuery = rows.groupBy(_._1)
     queries.distinct.map { q =>
       val hits = byQuery.getOrElse(q, Seq.empty)
@@ -179,8 +194,9 @@ final class SearchEngineServer(
   }
 
   private val docText =
-    """graft search engine API (reference-parity routes + /searchMany):
+    """graft search engine API (reference-parity routes + /searchMany + /searchManyAuto):
       |GET /search?query=Q&accuracy=A | GET /searchMany?queries=Q1,Q2,...&accuracy=A
+      |GET /searchManyAuto?queries=Q1,Q2,...&accuracy=A  (boolean/mixed shapes allowed)
       |PUT /setThreadsNumber {"numberOfThreads":N}
       |POST /crawl {"seedUrls":["path.parquet"],"numberOfPages":N}
       |PUT /crawl_terminate {"clearDocumentsHistory":0|1}
@@ -220,6 +236,21 @@ final class SearchEngineServer(
           if (list.isEmpty) (404, "queries must be a non-empty comma-separated list")
           else
             try (200, searchManyJson(list, a.toDouble))
+            catch { case e: Throwable => (404, String.valueOf(e.getMessage)) }
+        case _ => (404, "queries and accuracy are required")
+      }
+    })
+
+    // beyond parity: bulk ARBITRARY query shapes (boolean ops, NOT,
+    // brackets, mixed atoms) — per-query ≡ /search, operand fetch shared
+    server.createContext("/searchManyAuto", handler("GET") { ex =>
+      val ps = queryParams(ex)
+      (ps.get("queries"), ps.get("accuracy")) match {
+        case (Some(qs), Some(a)) =>
+          val list = qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          if (list.isEmpty) (404, "queries must be a non-empty comma-separated list")
+          else
+            try (200, searchManyAutoJson(list, a.toDouble))
             catch { case e: Throwable => (404, String.valueOf(e.getMessage)) }
         case _ => (404, "queries and accuracy are required")
       }

@@ -65,6 +65,21 @@ class ServerSpec extends AnyFunSuite {
     assert(get("/searchMany?queries=&accuracy=0.0").statusCode() == 404)
   }
 
+  test("searchManyAuto evaluates boolean/mixed shapes searchMany rejects") {
+    post("/indexDocuments", """{"clear": 1}""")
+    // a bracketed boolean and a mixed query — both 404 on /searchMany,
+    // both 200 with per-query hit arrays on /searchManyAuto
+    val boolQ = "(%22blue%20whale%22%20OR%20%22query%20engine%22)%20NOT%20%22red%20fish%22"
+    assert(get(s"/searchMany?queries=$boolQ&accuracy=0.0").statusCode() == 404)
+    val r = get(s"/searchManyAuto?queries=$boolQ,whale&accuracy=0.0")
+    assert(r.statusCode() == 200, r.body())
+    val body = r.body()
+    assert(body.startsWith("{") && body.contains("\"whale\":[") &&
+      body.contains("NOT \\\"red fish\\\"\":["), body.take(300))
+    assert(body.contains("\"score\":"))
+    assert(get("/searchManyAuto?accuracy=0.0").statusCode() == 404)
+  }
+
   test("setRankerParameters swaps the ranker; bad body rejected") {
     val ok = put("/setRankerParameters",
       """{"BM25_K1": 1.2, "BM25_B": 0.8, "PHRASE_BOOST": 1.5, "EXACT_MATCH_WEIGHT": 0.5}""")
