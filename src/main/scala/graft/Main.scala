@@ -30,7 +30,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Main <gen|build|ingest|search|searchmany|clear> [--flags]")
+      System.err.println("usage: graft.Main <gen|build|ingest|search|searchmany|searchauto|clear> [--flags]")
       sys.exit(2)
     }
     val builder = SparkSession.builder()
@@ -113,6 +113,20 @@ object Main {
           .collect()
           .foreach(r => println(
             f"${r.getString(0)}%-20s ${r.getDouble(4)}%.6f doc=${r.getLong(1)} ${r.getString(2)}/${r.getInt(3)}"))
+
+      case "searchauto" =>
+        // bulk ARBITRARY query shapes (boolean/NOT/brackets/mixed) with
+        // the operand fetch shared; per-query results ≡ `search`
+        val qs = arg(args, "queries")
+          .getOrElse(sys.error("--queries required (comma-separated queries)"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val accuracy = arg(args, "accuracy").map(_.toDouble).getOrElse(0.0)
+        val engine = new SparkSearchEngine(spark, io, params)
+        engine.searchManyAuto(qs, params.topK, accuracy)
+          .orderBy($"query", $"score".desc, $"docId".asc)
+          .collect()
+          .foreach(r => println(
+            f"${r.getString(0)}%-40s ${r.getDouble(4)}%.6f doc=${r.getLong(1)} ${r.getString(2)}/${r.getInt(3)}"))
 
       case "clear" =>
         Seq(Tables.PostingsRaw, Tables.DocDict, Tables.Stats, Tables.TermStats,

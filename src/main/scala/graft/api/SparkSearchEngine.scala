@@ -115,15 +115,25 @@ final class SparkSearchEngine(
     * is skip-folded (the reference's stale-postings quirk,
     * BM25Ranker.cpp:439-491) — so the head stem is the one necessary
     * condition a prefilter may use. When the head stems' df is big enough
-    * to matter, broadcast a Bloom filter of their docIds and drop
-    * non-candidate postings BEFORE the docId shuffle: the shuffle falls
-    * from Σ df(all stems) to ≈ df(head) rows. False positives are harmless
-    * (they fold to tf=0 and are filtered), so results are bit-identical at
-    * any fpp; the filter is pure plan surgery, the fold is untouched. */
-  private def headDocFilter(heads: Seq[String]): Option[Column] = {
-    val dfHead = io.read(Tables.Blocks).filter($"term".isin(heads: _*))
-      .agg(coalesce(sum($"n_docs"), lit(0L))).as[Long].head()
-    if (dfHead < params.phrasePrefilterMinDf || dfHead == 0L) None
+    * AND selective enough to pay for the Bloom build + per-row test
+    * (df(head) ≤ maxRatio·Σdf — measured 0.76–0.87× when head df was
+    * ~40% of the shuffle), broadcast a Bloom filter of their docIds and
+    * drop non-candidate postings BEFORE the docId shuffle: the shuffle
+    * falls from Σ df(all stems) to ≈ df(head) rows. False positives are
+    * harmless (they fold to tf=0 and are filtered), so results are
+    * bit-identical at any fpp; the filter is pure plan surgery, the fold
+    * is untouched. On corpora smaller than the minDf threshold the df
+    * lookup itself is skipped — zero extra jobs on the common path. */
+  private def headDocFilter(heads: Seq[String], allStems: Seq[String]): Option[Column] = {
+    if (stats.total_docs < params.phrasePrefilterMinDf) return None // no job
+    val dfByTerm = io.read(Tables.Blocks)
+      .filter($"term".isin(allStems.distinct: _*))
+      .groupBy($"term").agg(sum($"n_docs").as("df"))
+      .as[(String, Long)].collect().toMap
+    val dfHead = heads.distinct.map(dfByTerm.getOrElse(_, 0L)).sum
+    val dfAll = allStems.distinct.map(dfByTerm.getOrElse(_, 0L)).sum
+    if (dfHead < params.phrasePrefilterMinDf || dfHead == 0L ||
+      dfHead > dfAll * params.phrasePrefilterMaxRatio) None
     else {
       val bf = postings.filter($"term".isin(heads: _*)).select($"docId")
         .stat.bloomFilter("docId", dfHead, 0.01)
@@ -158,7 +168,7 @@ final class SparkSearchEngine(
       val stems = TextPipeline.tokenizeQuery(phraseText)
       if (stems.isEmpty) return empty
       val base = postings.filter($"term".isin(stems.distinct: _*))
-      val rows = headDocFilter(Seq(stems.head)).fold(base)(base.filter)
+      val rows = headDocFilter(Seq(stems.head), stems).fold(base)(base.filter)
         .select($"docId", $"doc_len", $"term", $"positions_vb")
       // one shuffle on docId (alone — so downstream docId joins can reuse
       // the partitioning); the positional fold is doc-local. Cached because
@@ -301,7 +311,7 @@ final class SparkSearchEngine(
     * the distributed per-query fetch below and Algebra.phraseScore's shape. */
   private def phraseTfRows(stems: Vector[String]): Array[(Long, Int, Int)] = {
     val base = postings.filter($"term".isin(stems.distinct: _*))
-    val rows = headDocFilter(Seq(stems.head)).fold(base)(base.filter)
+    val rows = headDocFilter(Seq(stems.head), stems).fold(base)(base.filter)
       .select($"docId", $"doc_len", $"term", $"positions_vb")
     val tfs = rows
       .groupBy($"docId")
@@ -588,7 +598,7 @@ final class SparkSearchEngine(
         val allStems = allPhrases.flatten.distinct
         val heads = allPhrases.map(_.head).distinct
         val base = postings.filter($"term".isin(allStems: _*))
-        val perDoc = headDocFilter(heads).fold(base)(base.filter)
+        val perDoc = headDocFilter(heads, allStems).fold(base)(base.filter)
           .select($"docId", $"doc_len", $"term", $"positions_vb")
           .groupBy($"docId")
           .agg(first($"doc_len").as("doc_len"),
@@ -682,7 +692,7 @@ final class SparkSearchEngine(
     // phrase's fold returns 0 without its own head — see headDocFilter)
     val heads = phraseAtoms.map(_._2.head).distinct
     val base = postings.filter($"term".isin(allStems: _*))
-    val perDoc = headDocFilter(heads).fold(base)(base.filter)
+    val perDoc = headDocFilter(heads, allStems).fold(base)(base.filter)
       .select($"docId", $"doc_len", $"term", $"positions_vb")
       .groupBy($"docId")
       .agg(first($"doc_len").as("doc_len"),

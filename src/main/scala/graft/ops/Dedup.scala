@@ -127,14 +127,31 @@ object Dedup {
       }.toDF("band", "bucket", "doc_id")
   }
 
-  /** Candidate pairs from banding rows: one groupBy, in-bucket pairs,
-    * skew-capped. */
+  /** Keep only rows whose key group has 2..maxBucket members — a
+    * map-side-combined COUNT pass + semi-join, so collect_list never
+    * materializes a singleton's group (the overwhelmingly common case:
+    * 10M docs → ~40M banding rows but ~all buckets are singletons; the
+    * one-pass collect_list-then-filter shape measured 962 s and heavy GC
+    * where this is minutes) nor a degenerate hot key's (the skew cap
+    * applies BEFORE the array is built, bounding executor memory at any
+    * corpus size). The groupBy after the join reuses the join's hash
+    * partitioning — no extra shuffle of the wide rows. */
+  private def keepMidSizedGroups(
+      df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select(keys.map(col): _*)
+    df.join(sizes, keys, "left_semi")
+  }
+
+  /** Candidate pairs from banding rows: size-gated buckets, in-bucket
+    * pairs, skew-capped before materialization. */
   private def pairsFromBandRows(
       spark: SparkSession, banded: DataFrame, maxBucket: Int): DataFrame = {
     import spark.implicits._
-    banded.groupBy($"band", $"bucket")
+    keepMidSizedGroups(banded, Seq("band", "bucket"), maxBucket)
+      .groupBy($"band", $"bucket")
       .agg(collect_list($"doc_id").as("ids"))
-      .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
       .select($"ids").as[Seq[Long]]
       .flatMap { ids =>
         val s = ids.sorted
@@ -298,10 +315,10 @@ object Dedup {
     val members = newBands
       .select($"band", $"bucket", $"doc_id", lit(true).as("is_new"))
       .union(corpusBands.select($"band", $"bucket", $"doc_id", lit(false).as("is_new")))
-    val cands = members.groupBy($"band", $"bucket")
+    val cands = keepMidSizedGroups(members, Seq("band", "bucket"), maxBucket)
+      .groupBy($"band", $"bucket")
       .agg(collect_list(struct($"doc_id", $"is_new")).as("ms"))
-      .filter(size($"ms") > 1 && size($"ms") <= maxBucket &&
-        exists($"ms", m => m.getField("is_new")))
+      .filter(exists($"ms", m => m.getField("is_new")))
       .select($"ms").as[Seq[(Long, Boolean)]]
       .flatMap { ms =>
         val s = ms.sortBy(_._1)
@@ -397,19 +414,27 @@ object Dedup {
           (ci, key, id, h)
         }
       }.toDF("combo", "key", "doc_id", "simhash")
-    keyed.groupBy($"combo", $"key")
+    keepMidSizedGroups(keyed, Seq("combo", "key"), maxBucket)
+      .groupBy($"combo", $"key")
       .agg(collect_list(struct($"doc_id", $"simhash")).as("members"))
-      .filter(size($"members") > 1 && size($"members") <= maxBucket)
       .select($"members").as[Seq[(Long, Long)]]
       .flatMap { ms =>
         val s = ms.sortBy(_._1)
-        s.indices.iterator.flatMap(i => (i + 1 until s.length).iterator.map { j =>
-          (s(i)._1, s(j)._1, java.lang.Long.bitCount(s(i)._2 ^ s(j)._2))
+        val mb = maxBits
+        // hamming filter INSIDE the pair emission: hamming is a function
+        // of the pair (identical for every bucket the pair co-occurs in),
+        // so filtering before dropDuplicates is semantics-preserving and
+        // keeps the dedup shuffle at true-near-dup size — under-sized
+        // band keys at large n otherwise push billions of non-dup
+        // candidate rows through the distinct (measured: the whole
+        // stage's cost at 10M docs with 16-bit keys)
+        s.indices.iterator.flatMap(i => (i + 1 until s.length).iterator.flatMap { j =>
+          val h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+          if (h <= mb) Iterator.single((s(i)._1, s(j)._1, h)) else Iterator.empty
         })
       }
       .toDF("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b")
-      .filter($"hamming" <= maxBits)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -659,9 +684,9 @@ object Dedup {
       threshold: Double,
       maxBucket: Int): DataFrame = {
     import spark.implicits._
-    val cands = bucketed
+    val cands = keepMidSizedGroups(bucketed.select($"vec_id", $"bucket"),
+        Seq("bucket"), maxBucket)
       .groupBy($"bucket").agg(collect_list($"vec_id").as("ids"))
-      .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
       .select($"ids").as[Seq[Long]]
       .flatMap { ids =>
         val s = ids.sorted

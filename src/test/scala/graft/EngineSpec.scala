@@ -215,10 +215,12 @@ class EngineSpec extends AnyFunSuite {
     val (io, _) = built
     import spark.implicits._
     val engine = new SparkSearchEngine(spark, io)
-    // default threshold (65536) never triggers at this corpus size, so
-    // force the Bloom path and assert full bit-identity — false positives
-    // must fold to tf=0, never perturb a score
-    val forced = new SparkSearchEngine(spark, io, GraftParams(phrasePrefilterMinDf = 1L))
+    // the default gates (min corpus size, head-selectivity ratio) never
+    // trigger at this corpus, so force the Bloom path and assert full
+    // bit-identity — false positives must fold to tf=0, never perturb a
+    // score
+    val forced = new SparkSearchEngine(spark, io,
+      GraftParams(phrasePrefilterMinDf = 1L, phrasePrefilterMaxRatio = 1.0))
     val phraseQueries = queries.filter(_._2._1.contains("\""))
     assert(phraseQueries.nonEmpty)
     phraseQueries.foreach { case (name, (q, acc)) =>
