@@ -66,7 +66,11 @@ object DriveBigR4 {
     val phraseQs = Seq(
       "\"blue whale\"",
       "(\"blue whale\" OR \"query engine\") NOT \"red fish\"",
-      "\"blue whale\" whale engine")
+      "\"blue whale\" whale engine",
+      // the canonical prefilter WIN: rare head (log-uniform tail term,
+      // df ≈ hundreds) against a head-term tail stem (df ≈ 4M) — the
+      // gate opens (df(head)/Σdf ≈ 1e-4) and the shuffle collapses
+      "\"tok40000 whale\"")
     for (q <- phraseQs; rep <- 1 to 2; if !skipPhrase) {
       def time(e: graft.api.SparkSearchEngine) = {
         val t0 = System.nanoTime()

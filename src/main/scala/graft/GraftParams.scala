@@ -21,14 +21,15 @@ final case class GraftParams(
     /** operand-size ceiling for the driver-side boolean algebra; above it
       * the engine falls back to the fully distributed algebra */
     driverAlgebraMaxDocs: Int = 2000000,
-    /** head-stem df at or above which the phrase paths MAY broadcast a
-      * Bloom filter of the first stem's docIds and drop non-candidate
-      * postings map-side, BEFORE the docId shuffle (phrase tf is provably
-      * 0 for a doc missing the first stem). Below it the filter costs
-      * more than the small shuffle it saves; when the corpus itself is
+    /** minimum Σ df of a phrase's queried stems — the docId-shuffle size
+      * the head-stem Bloom prefilter could save — for the prefilter to
+      * engage (phrase tf is provably 0 for a doc missing the FIRST stem,
+      * so its docIds, broadcast as a Bloom filter, drop non-candidate
+      * postings map-side BEFORE the shuffle). Below it the shuffle is
+      * too small to pay for the filter; when the corpus itself is
       * smaller than this the df lookup is skipped entirely (no extra
-      * job). Results are bit-identical either way — Bloom false positives
-      * fold to tf=0. */
+      * job). Results are bit-identical either way — Bloom false
+      * positives fold to tf=0. */
     phrasePrefilterMinDf: Long = 65536L,
     /** selectivity gate: the Bloom prefilter only runs when
       * df(head stems) ≤ this fraction of Σ df(all queried stems), i.e.

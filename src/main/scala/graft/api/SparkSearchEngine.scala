@@ -132,11 +132,15 @@ final class SparkSearchEngine(
       .as[(String, Long)].collect().toMap
     val dfHead = heads.distinct.map(dfByTerm.getOrElse(_, 0L)).sum
     val dfAll = allStems.distinct.map(dfByTerm.getOrElse(_, 0L)).sum
-    if (dfHead < params.phrasePrefilterMinDf || dfHead == 0L ||
+    // gate on what the filter SAVES (the Σdf shuffle) and on selectivity
+    // (df(head)/Σdf) — NOT on df(head) being large: the canonical win is
+    // a rare head against a stop-word-class tail stem, where df(head) is
+    // tiny and the saved shuffle is nearly all of Σdf
+    if (dfAll < params.phrasePrefilterMinDf ||
       dfHead > dfAll * params.phrasePrefilterMaxRatio) None
     else {
       val bf = postings.filter($"term".isin(heads: _*)).select($"docId")
-        .stat.bloomFilter("docId", dfHead, 0.01)
+        .stat.bloomFilter("docId", math.max(dfHead, 1L), 0.01)
       val bBf = spark.sparkContext.broadcast(bf)
       val mightContain = udf((id: Long) => bBf.value.mightContain(id))
       Some(mightContain($"docId"))
