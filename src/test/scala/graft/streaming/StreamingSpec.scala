@@ -67,4 +67,58 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming dedup gate: batches dedup against the growing index, idempotent per batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.ops.Dedup
+    val idx = java.nio.file.Files.createTempDirectory("stream_mh_").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter($"doc_id" < 40)
+    Dedup.buildMinHashIndex(spark, docs, idx)
+    val texts = docs.as[(Long, String)].collect().toMap
+
+    // batch: one exact dup of a corpus doc, one fresh doc → dup dropped
+    val fresh1 = "totally original content about streaming dedup gates number one"
+    val b1 = spark.createDataset(Seq((1000L, texts(0L)), (1001L, fresh1)))
+      .toDF("doc_id", "text")
+    val s1 = StreamingDedup.dedupBatch(spark, idx, b1, 100L)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(s1 == Set(1001L))
+
+    // next batch: a dup of the PREVIOUS batch's survivor (only findable
+    // because its signatures were appended) + a fresh doc
+    val b2 = spark.createDataset(Seq(
+        (2000L, fresh1),
+        (2001L, "another entirely different document unlike all the rest two")))
+      .toDF("doc_id", "text")
+    val s2 = StreamingDedup.dedupBatch(spark, idx, b2, 101L)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(s2 == Set(2001L), "dup of an appended survivor must be dropped")
+
+    // replay of the same batchId: identical survivors, NO double-append
+    val sigCount = spark.read.parquet(s"$idx/sigs").count()
+    val s2r = StreamingDedup.dedupBatch(spark, idx, b2, 101L)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(s2r == s2)
+    assert(spark.read.parquet(s"$idx/sigs").count() == sigCount,
+      "replayed batch must not re-append signatures")
+
+    // end-to-end through a real streaming query
+    val stream = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingDedup.start(
+      stream.toDF().toDF("doc_id", "text"), idx,
+      java.nio.file.Files.createTempDirectory("stream_mh_ck_").toString) {
+      (survivors, _) =>
+        val ids = survivors.select($"doc_id").as[Long].collect()
+        out.synchronized { out ++= ids; () }
+    }
+    try {
+      stream.addData(Seq((3000L, texts(1L)),
+        (3001L, "yet another unique streaming document number three")))
+      q.processAllAvailable()
+      assert(out.toSet == Set(3001L))
+    } finally q.stop()
+  }
 }
