@@ -116,6 +116,19 @@ object SparkEntry {
     p
   }
 
+  /** q41's own index copy: the streaming gate APPENDS survivors'
+    * signatures, so it must not share q38's pristine index. The first
+    * call appends + ledgers batch 0; every rerun is a replay computing
+    * identical survivors (the gate's idempotency contract, exercised by
+    * the contract row itself). */
+  private def minhashGateIndex(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft_ann_v${Similarity.IndexVersion}/minhash_gate_s${MinHashSplit}_${dirKey(dir)}"
+    if (!annIndexCommitted(p))
+      Dedup.buildMinHashIndex(s,
+        s.read.parquet(t(dir, "documents")).filter(col("doc_id") < MinHashSplit), p)
+    p
+  }
+
   /** Contract projection of searchFrame: scores as round(s·1e9) so the
     * DuckDB oracle compare is ulp-robust (see q19/q20 notes). */
   private def scoreE9(df: DataFrame): DataFrame =
@@ -218,6 +231,14 @@ object SparkEntry {
     "q38_minhash_index_dedup" -> ((s, dir) =>
       Dedup.minHashDedupBatch(s, minhashIndex(s, dir),
         s.read.parquet(t(dir, "documents")).filter(col("doc_id") >= MinHashSplit))),
+    // the streaming dedup gate's batch step: survivors of the new batch
+    // after dedup against the indexed corpus and itself (keep-lowest-id);
+    // reruns hit the replay path — same survivors, no re-append
+    "q41_stream_dedup_gate" -> ((s, dir) =>
+      graft.streaming.StreamingDedup.dedupBatch(s, minhashGateIndex(s, dir),
+          s.read.parquet(t(dir, "documents")).filter(col("doc_id") >= MinHashSplit),
+          batchId = 0L)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
 
     // ---- text analysis ------------------------------------------------
     "q11_token_counts" -> ((s, dir) => TextOps.tokenCounts(s.read.parquet(t(dir, "documents")))),
@@ -607,6 +628,21 @@ object SparkEntry {
          |  FROM cand JOIN sv a ON a.doc_id = doc_a JOIN sv b ON b.doc_id = doc_b)
          |WHERE est_jaccard >= 0.5 AND (doc_a >= 375 OR doc_b >= 375)
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // streaming gate survivors = the batch minus the LARGER id of every
+    // q38 pair (keep-lowest-id gate semantics)
+    "q41_stream_dedup_gate" ->
+      s"""WITH $minhashCandidateCtes,
+         |sv AS (SELECT doc_id, list(sg ORDER BY i) AS sl FROM sigf GROUP BY doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_filter(list_zip(a.sl, b.sl), z -> z[1] = z[2]))::DOUBLE / 64.0 AS ej
+         |  FROM cand JOIN sv a ON a.doc_id = doc_a JOIN sv b ON b.doc_id = doc_b),
+         |losers AS (
+         |  SELECT DISTINCT greatest(doc_a, doc_b) AS doc_id FROM est
+         |  WHERE ej >= 0.5 AND (doc_a >= 375 OR doc_b >= 375))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 375 AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     // LSH candidates + EXACT n-gram jaccard verify (the q09 arithmetic)
     "q25_ngram_jaccard_lsh" ->
       s"""WITH $minhashCandidateCtes,
