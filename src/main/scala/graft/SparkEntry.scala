@@ -79,6 +79,7 @@ object SparkEntry {
     pqIndex(s, dir)
     ivfPqIndex(s, dir)
     minhashIndex(s, dir)
+    minhashGateIndex(s, dir)
     ()
   }
 
