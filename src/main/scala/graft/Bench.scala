@@ -73,17 +73,26 @@ object Bench {
     val convs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "250000").toLong
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     requireFreeDisk(10)
-    // a crashed earlier run may have left warehouses behind — reclaim first
-    new java.io.File("/tmp").listFiles().foreach { f =>
-      if (f.getName.startsWith("bench_wh_")) deleteRecursively(f.getPath)
+    // a crashed earlier run may have left warehouses behind — reclaim ONLY
+    // stale ones (age-gated so a concurrently running bench's live warehouse
+    // is never deleted), and null-guard the listing (listFiles returns null
+    // on an I/O error)
+    val staleCutoffMs = System.currentTimeMillis() - 2L * 3600 * 1000
+    def tmpFiles: Seq[java.io.File] =
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+    tmpFiles.foreach { f =>
+      if (f.getName.startsWith("bench_wh_") && f.lastModified < staleCutoffMs)
+        deleteRecursively(f.getPath)
     }
 
     // ---- untimed: materialize the transcript source table --------------
     val src = s"/tmp/graft_bench_turns_gen${TranscriptGen.Version}_$convs"
     // stale corpora from older generator versions / other sizes are dead
     // weight (the cache key embeds both) — reclaim them before generating
-    new java.io.File("/tmp").listFiles().foreach { f =>
-      if (f.getName.startsWith("graft_bench_turns_") && f.getPath != src)
+    // (same age gate: a concurrent bench at another size keeps its corpus)
+    tmpFiles.foreach { f =>
+      if (f.getName.startsWith("graft_bench_turns_") && f.getPath != src &&
+        f.lastModified < staleCutoffMs)
         deleteRecursively(f.getPath)
     }
     locally {

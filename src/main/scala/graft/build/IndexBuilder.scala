@@ -44,9 +44,12 @@ object FormatGuard {
   def check(spark: SparkSession, io: TableIO, context: String): Unit = {
     io.readMarker(Tables.Format) match {
       case Some(raw) =>
-        val v = raw.trim.toInt
+        // a truncated/corrupt marker (crash mid-write) must surface as the
+        // same clean refusal as a version mismatch, not a NumberFormatException
+        val v = scala.util.Try(raw.trim.toInt).getOrElse(-1)
         if (v != Tables.FormatVersion) throw new IllegalStateException(
-          s"$context: warehouse format v$v != engine v${Tables.FormatVersion} — " +
+          s"$context: warehouse format v$v (unparseable/corrupt = -1) != engine " +
+            s"v${Tables.FormatVersion} — " +
             "refusing to read/resume (blocks would misdecode); rebuild with resume=false")
       case None =>
         if (io.exists(Tables.DocDict)) throw new IllegalStateException(

@@ -31,7 +31,37 @@ object Pipeline {
       minWords: Int = 15,
       langThreshold: Double = 0.02,
       maxBits: Int = 3,
-      blocks: Int = 4): DataFrame = {
+      blocks: Int = 4): DataFrame =
+    trainingCorpusImpl(spark, docs, minWords, langThreshold, maxBits, blocks)._1
+
+  /** trainingCorpus with deterministic cleanup (round-4 VERDICT item 3):
+    * the survivor cache and the connected-components checkpoint are
+    * released after `use` returns, so a long-lived session running the
+    * pipeline daily accumulates NOTHING per call (spec-pinned no-growth).
+    * The result must be fully consumed inside `use` — the clusters frame
+    * is checkpoint-backed and not recomputable once released. */
+  def trainingCorpusManaged[T](
+      spark: SparkSession,
+      docs: DataFrame,
+      minWords: Int = 15,
+      langThreshold: Double = 0.02,
+      maxBits: Int = 3,
+      blocks: Int = 4)(use: DataFrame => T): T = {
+    val (out, release) =
+      trainingCorpusImpl(spark, docs, minWords, langThreshold, maxBits, blocks)
+    try use(out) finally release()
+  }
+
+  /** NOTE: the unmanaged frame is backed by the survivor cache and the
+    * final CC localCheckpoint — same hazard note as Dedup.dedupClusters;
+    * long-lived sessions should consume via trainingCorpusManaged. */
+  private def trainingCorpusImpl(
+      spark: SparkSession,
+      docs: DataFrame,
+      minWords: Int,
+      langThreshold: Double,
+      maxBits: Int,
+      blocks: Int): (DataFrame, () => Unit) = {
     import spark.implicits._
     // q12's n_words and q13's stopword_ratio, as single expressions (the
     // staged selects in TextOps compose the same ops — identical IEEE)
@@ -49,7 +79,8 @@ object Pipeline {
       .filter($"n_words" >= minWords && $"stopword_ratio" >= langThreshold)
       .cache() // read by simhash, the CC node universe, and the final join
     val pairs = Dedup.simHashNearDup(spark, surv, maxBits, blocks)
-    val clusters = Dedup.dedupClusters(spark, pairs, surv.select($"doc_id"))
+    val (clusters, ckpt) =
+      Dedup.dedupClustersImpl(spark, pairs, surv.select($"doc_id"), 30)
     val keepers = Dedup.applyKeepers(spark, surv, clusters)
     val out = keepers
       .join(TextOps.splitAssign(keepers.select($"doc_id")), Seq("doc_id"))
@@ -57,6 +88,6 @@ object Pipeline {
       .select($"doc_id", $"n_words", $"stopword_ratio", $"cluster_id",
         $"n_members", $"bucket", $"split", $"shard")
       .orderBy($"doc_id")
-    out
+    (out, () => { surv.unpersist(false); ckpt.unpersist(false); () })
   }
 }

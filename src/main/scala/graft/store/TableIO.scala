@@ -120,8 +120,9 @@ final class ParquetTableIO(spark: SparkSession, warehouse: String) extends Table
     } else if (exists(name)) {
       // pre-round-4 warehouses persisted the marker as a one-row parquet
       // table — still readable (a cold read here is fine; only the write
-      // path is on the measured build)
-      Some(spark.read.parquet(path(name)).head().get(0).toString)
+      // path is on the measured build). An EMPTY legacy table (partial
+      // write) reads as no marker rather than a NoSuchElementException.
+      spark.read.parquet(path(name)).take(1).headOption.map(_.get(0).toString)
     } else None
   }
 

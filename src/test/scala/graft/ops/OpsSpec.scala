@@ -430,6 +430,54 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, est) => a == 0 && b == 1000 && est == 1.0 })
   }
 
+  test("minhash dedup-batch replay: already-appended batch ids yield identical pairs") {
+    import spark.implicits._
+    // an at-least-once replay AFTER the append committed: the index holds
+    // the batch's own signatures/banding rows. Without excluding those
+    // copies the estimate join duplicates rows and bucket sizes double-
+    // count (the round-4 ADVICE cap edge) — the replay must recompute the
+    // first run's pairs exactly.
+    val docs = docsWithDups
+    val corpus = docs.filter($"doc_id" < 1000)
+    val batch = docs.filter($"doc_id" >= 1000)
+    val idx = java.nio.file.Files.createTempDirectory("mh_replay").toString
+    Dedup.buildMinHashIndex(spark, corpus, idx)
+    val first = Dedup.minHashDedupBatch(spark, idx, batch, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    Dedup.appendMinHashSigs(spark, batch, idx) // the committed append
+    val replay = Dedup.minHashDedupBatch(spark, idx, batch, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(replay == first)
+    assert(first.nonEmpty)
+  }
+
+  test("managed dedup/pipeline variants: no cache growth across repeated calls") {
+    import spark.implicits._
+    val docs = docsWithDups
+    val corpus = docs.filter($"doc_id" < 1000)
+    val batch = docs.filter($"doc_id" >= 1000)
+    val idx = java.nio.file.Files.createTempDirectory("mh_managed").toString
+    Dedup.buildMinHashIndex(spark, corpus, idx)
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    // warm once, snapshot, then repeat: the managed variants must release
+    // every per-call cache/checkpoint (the daily-pipeline leak, round-4
+    // VERDICT item 3 + ADVICE)
+    Dedup.minHashDedupBatchManaged(spark, idx, batch)(_.count())
+    Pipeline.trainingCorpusManaged(spark, docs)(_.count())
+    val base = persisted
+    (1 to 4).foreach { _ =>
+      Dedup.minHashDedupBatchManaged(spark, idx, batch)(_.count())
+      Pipeline.trainingCorpusManaged(spark, docs)(_.count())
+    }
+    assert(persisted <= base, s"managed caches grew: $base -> $persisted")
+    // managed ≡ unmanaged results
+    val managed = Pipeline.trainingCorpusManaged(spark, docs)(
+      _.as[(Long, Long, Double, Long, Long, Int, String, Int)].collect().toSeq)
+    val plain = Pipeline.trainingCorpus(spark, docs)
+      .as[(Long, Long, Double, Long, Long, Int, String, Int)].collect().toSeq
+    assert(managed == plain && managed.nonEmpty)
+  }
+
   test("simhash banding survives bucket-overflow scale (Manku block-combination keys)") {
     import spark.implicits._
     // adversarial corpus: every 16-bit band value is shared by > maxBucket

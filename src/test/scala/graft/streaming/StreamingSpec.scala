@@ -104,6 +104,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/sigs").count() == sigCount,
       "replayed batch must not re-append signatures")
 
+    // a NEW run (fresh checkpoint → batchIds restart at 0) against the
+    // same index must treat its batch 0 as new work, not a replay of the
+    // old stream's batch 0 — the ledger is keyed by (runId, batchId)
+    val b3 = spark.createDataset(Seq(
+        (4000L, fresh1), // dup of an indexed survivor: must still be caught
+        (4001L, "a brand new document arriving on the second stream run four")))
+      .toDF("doc_id", "text")
+    val preRun2 = spark.read.parquet(s"$idx/sigs").count()
+    val s3 = StreamingDedup.dedupBatch(spark, idx, b3, 101L, runId = "run2")
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(s3 == Set(4001L))
+    assert(spark.read.parquet(s"$idx/sigs").count() == preRun2 + 1,
+      "fresh-run batch with a committed old-run batchId must append its survivor")
+    // and a replay WITHIN the new run is still idempotent
+    val s3r = StreamingDedup.dedupBatch(spark, idx, b3, 101L, runId = "run2")
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(s3r == s3)
+    assert(spark.read.parquet(s"$idx/sigs").count() == preRun2 + 1)
+
+    // the managed variant: same survivors, no cache growth per batch
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    StreamingDedup.dedupBatchManaged(spark, idx, b3, 101L, runId = "run2")(
+      _.count())
+    val base = persisted
+    (1 to 3).foreach { _ =>
+      val ids = StreamingDedup.dedupBatchManaged(spark, idx, b3, 101L, runId = "run2")(
+        _.as[(Long, String)].collect().map(_._1).toSet)
+      assert(ids == s3)
+    }
+    assert(persisted <= base, s"per-batch caches grew: $base -> $persisted")
+
     // end-to-end through a real streaming query
     val stream = MemoryStream[(Long, String)]
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
