@@ -30,7 +30,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Main <gen|build|ingest|search|searchmany|searchauto|clear> [--flags]")
+      System.err.println("usage: graft.Main <gen|build|ingest|search|searchmany|searchauto|compact|clear> [--flags]")
       sys.exit(2)
     }
     val builder = SparkSession.builder()
@@ -127,6 +127,21 @@ object Main {
           .collect()
           .foreach(r => println(
             f"${r.getString(0)}%-40s ${r.getDouble(4)}%.6f doc=${r.getLong(1)} ${r.getString(2)}/${r.getInt(3)}"))
+
+      case "compact" =>
+        // fold incremental segments back into batch-build layout (run with
+        // no in-flight ingest batch; see IndexBuilder.compact); --minhash-
+        // index / --ann-index compact the persisted dedup/ANN indexes too
+        arg(args, "warehouse").foreach { _ =>
+          new IndexBuilder(spark, io).compact().foreach(m => println(
+            f"stage=${m.stage} rows=${m.rows} wall_ms=${m.wallMs}"))
+        }
+        arg(args, "minhash-index").foreach { p =>
+          graft.ops.Dedup.compactMinHashIndex(spark, p); println(s"compacted $p")
+        }
+        arg(args, "ann-index").foreach { p =>
+          graft.ops.Similarity.compactIndex(spark, p); println(s"compacted $p")
+        }
 
       case "clear" =>
         Seq(Tables.PostingsRaw, Tables.DocDict, Tables.Stats, Tables.TermStats,

@@ -207,34 +207,79 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     }
 
     runStage(Tables.Blocks, resume, metrics) {
-      val bs = blockSize
-      val blocks = io.read(Tables.Postings)
+      val blocks = blockify(io.read(Tables.Postings)
         .select("term", "docId", "tf", "doc_len", "positions_vb")
-        .as[PostingRow]
-        .mapPartitions { iter =>
-          // rows arrive (term, docId)-sorted within each split; emit
-          // ≤ bs-posting blocks per consecutive term run
-          new Iterator[IndexBlock] {
-            private val it = iter.buffered
-            def hasNext: Boolean = it.hasNext
-            def next(): IndexBlock = {
-              val term = it.head.term
-              val buf = scala.collection.mutable.ArrayBuffer.empty[VarByte.Posting]
-              var maxTf = 0; var minDl = Int.MaxValue
-              while (it.hasNext && it.head.term == term && buf.size < bs) {
-                val p = it.next()
-                maxTf = math.max(maxTf, p.tf); minDl = math.min(minDl, p.doc_len)
-                // scoring-only block: positions live in the postings table
-                buf += VarByte.Posting(p.docId, p.tf, p.doc_len, Array.empty)
-              }
-              IndexBlock(term, buf.head.docId, buf.last.docId, buf.size,
-                maxTf, minDl, VarByte.encodeBlock(buf.toSeq))
-            }
-          }
-        }
+        .as[PostingRow])
       io.write(blocks.toDF(), Tables.Blocks, sortCols = Seq("term", "min_doc"))
     }
 
+    metrics.toSeq
+  }
+
+  /** (term, docId)-sorted posting rows → delta+varbyte block-max cells
+    * (≤ blockSize postings per block, scoring-only: positions stay in the
+    * postings table). Rows must arrive term-clustered within each split. */
+  private def blockify(postings: Dataset[PostingRow]): Dataset[IndexBlock] = {
+    val bs = blockSize
+    postings.mapPartitions { iter =>
+      new Iterator[IndexBlock] {
+        private val it = iter.buffered
+        def hasNext: Boolean = it.hasNext
+        def next(): IndexBlock = {
+          val term = it.head.term
+          val buf = scala.collection.mutable.ArrayBuffer.empty[VarByte.Posting]
+          var maxTf = 0; var minDl = Int.MaxValue
+          while (it.hasNext && it.head.term == term && buf.size < bs) {
+            val p = it.next()
+            maxTf = math.max(maxTf, p.tf); minDl = math.min(minDl, p.doc_len)
+            buf += VarByte.Posting(p.docId, p.tf, p.doc_len, Array.empty)
+          }
+          IndexBlock(term, buf.head.docId, buf.last.docId, buf.size,
+            maxTf, minDl, VarByte.encodeBlock(buf.toSeq))
+        }
+      }
+    }
+  }
+
+  /** Compact incremental segments back to batch-build layout (round-4
+    * VERDICT item 1). Every `buildIncremental` batch appends its own
+    * (term, docId)-sorted postings/blocks segment; segments overlap in
+    * term range, so after many batches a term-pruned read touches every
+    * segment's files and WAND sees one under-filled block run per segment.
+    * This re-sorts the postings table globally on (term, docId) and
+    * rebuilds the block index from it — query results are bit-identical
+    * (same posting rows; WAND is exact under any blocking), stats keep
+    * their incremental weighted mean untouched (recomputing it would
+    * drift the IEEE value), and the dictionary/ledger are unchanged.
+    *
+    * Single-writer maintenance op: run only with NO in-flight incremental
+    * batch — crash repair is tag-based, and compacting an un-ledgered
+    * partial append folds its rows where the tag sweep cannot remove them.
+    */
+  def compact(): Seq[StageMetric] = {
+    FormatGuard.check(spark, io, "IndexBuilder.compact")
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetric]
+    def timed(stage: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val rows = io.read(stage).count()
+      io.append(spark.createDataset(
+        Seq(LineageRow(s"compact:$stage", -1, "done", rows, wallMs))).toDF(),
+        Tables.Lineage)
+      metrics += StageMetric(s"compact:$stage", rows, wallMs, skipped = false)
+    }
+    timed(Tables.Postings) {
+      io.replace(io.read(Tables.Postings)
+        .select("term", "docId", "tf", "doc_len", "positions_vb")
+        .repartitionByRange(nShuffle, col("term"), col("docId"))
+        .sortWithinPartitions("term", "docId"), Tables.Postings)
+    }
+    timed(Tables.Blocks) {
+      io.replace(blockify(io.read(Tables.Postings)
+        .select("term", "docId", "tf", "doc_len", "positions_vb")
+        .as[PostingRow]).toDF(), Tables.Blocks)
+    }
     metrics.toSeq
   }
 
@@ -325,25 +370,7 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
       .cache()
     io.appendTagged(sortedDelta, Tables.Postings, tag)
 
-    val bs = blockSize
-    io.appendTagged(sortedDelta.as[PostingRow].mapPartitions { iter =>
-      new Iterator[IndexBlock] {
-        private val it = iter.buffered
-        def hasNext: Boolean = it.hasNext
-        def next(): IndexBlock = {
-          val term = it.head.term
-          val buf = scala.collection.mutable.ArrayBuffer.empty[VarByte.Posting]
-          var maxTf = 0; var minDl = Int.MaxValue
-          while (it.hasNext && it.head.term == term && buf.size < bs) {
-            val p = it.next()
-            maxTf = math.max(maxTf, p.tf); minDl = math.min(minDl, p.doc_len)
-            buf += VarByte.Posting(p.docId, p.tf, p.doc_len, Array.empty)
-          }
-          IndexBlock(term, buf.head.docId, buf.last.docId, buf.size,
-            maxTf, minDl, VarByte.encodeBlock(buf.toSeq))
-        }
-      }
-    }.toDF(), Tables.Blocks, tag)
+    io.appendTagged(blockify(sortedDelta.as[PostingRow]).toDF(), Tables.Blocks, tag)
 
     // weighted incremental mean — the reference's updateMetadataDocument
     val (n2, sum2) = dictDelta.agg(count(lit(1)), sum(col("doc_len")))

@@ -274,8 +274,13 @@ object Dedup {
     import spark.implicits._
     require(k % bands == 0, s"k ($k) must be a multiple of bands ($bands)")
     val sigs = minHashSigs(spark, docs, shingleN, k).cache()
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // sigs range-sorted on doc_id: the candidate-pruned estimate pushes an
+    // id `isin` into this scan, and tight per-file min/max makes that a
+    // row-group-pruned point read instead of a table scan
+    sigs.repartitionByRange(n, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$path/sigs")
     bandRows(spark, sigs, k, bands)
       .repartitionByRange(n, col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
@@ -301,6 +306,33 @@ object Dedup {
     sigs.write.mode("append").parquet(s"$path/sigs")
     bandRows(spark, sigs, k, bands).write.mode("append").parquet(s"$path/buckets")
     sigs.unpersist()
+  }
+
+  /** Compact the MinHash index's appended segments (round-4 VERDICT item
+    * 1): `appendMinHashSigs` (and every streaming-gate micro-batch) appends
+    * banding rows UNSORTED and sigs as small files — after thousands of
+    * batches the buckets table degrades to a small-file sprawl with no
+    * (band, bucket) clustering, so probes lose their parquet min/max
+    * pruning and pay per-file open costs. This restores the build layout:
+    * buckets range-sorted on (band, bucket), sigs range-sorted on doc_id.
+    * Same rows → pairs and batch probes are bit-identical (spec-pinned).
+    * meta/version/stream_ledger are untouched; single-writer maintenance
+    * op — run between batches, not under a live appender. */
+  def compactMinHashIndex(spark: SparkSession, path: String): Unit = {
+    Similarity.checkVersion(spark, path)
+    val n = Similarity.shuffleN(spark)
+    Similarity.replaceDir(spark, s"$path/buckets") { tmp =>
+      spark.read.parquet(s"$path/buckets")
+        .repartitionByRange(n, col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    Similarity.replaceDir(spark, s"$path/sigs") { tmp =>
+      spark.read.parquet(s"$path/sigs")
+        .repartitionByRange(n, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** Full-corpus near-dup pairs off the persisted index — identical output

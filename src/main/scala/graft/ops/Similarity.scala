@@ -34,6 +34,70 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/version")
   }
 
+  /** Replace a parquet directory with a rewritten copy: `writeTmp` writes
+    * the new contents to a sibling temp dir (reading the original is fine —
+    * the temp write fully materializes first), then the original is swapped
+    * out. Mirrors ParquetTableIO.replace; like it, the swap window is the
+    * non-transactional cost of a filesystem warehouse (an Iceberg catalog
+    * makes this a transactional rewrite). Single-writer maintenance op —
+    * run between batches, not under a live appender. */
+  private[ops] def replaceDir(spark: SparkSession, dir: String)(
+      writeTmp: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact")
+    fs.delete(tmp, true)
+    writeTmp(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    // drop any session-cached file listing of the old segment files —
+    // without this a later read of the same path can resolve to deleted
+    // parquet paths (FAILED_READ_FILE). DataFrames created BEFORE the
+    // compaction pin their own listing and must be re-created by callers.
+    spark.catalog.refreshByPath(dir)
+  }
+
+  private[ops] def shuffleN(spark: SparkSession): Int =
+    math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      spark.sparkContext.defaultParallelism)
+
+  /** Compact an ANN index's appended segments (round-4 VERDICT item 1).
+    * Incremental appends (`appendLshAssignments` / `appendIvfAssignments` /
+    * `appendPqCodes`) each add small parquet files with no sort clustering;
+    * after many batches every probe pays the per-file open/footer cost and
+    * parquet min/max pruning degrades. This rewrites the data tables back
+    * to build-shaped layout — same rows, same schema, same partition dirs,
+    * so probes are bit-identical (spec-pinned) — and leaves
+    * centroids/codebook/meta/version untouched. */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    checkVersion(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = shuffleN(spark)
+    def has(t: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t"))
+    Seq("assignments", "codes").filter(has).foreach { t =>
+      val dir = s"$path/$t"
+      val cols = spark.read.parquet(dir).columns.toSet
+      // LSH assignments carry `part`, IVF-family tables carry `cell`;
+      // plain PQ codes are unpartitioned
+      val partCol = if (cols.contains("part")) Some("part")
+        else if (cols.contains("cell")) Some("cell") else None
+      replaceDir(spark, dir) { tmp =>
+        val df = spark.read.parquet(dir)
+        partCol match {
+          case Some(pc) =>
+            df.repartitionByRange(n, col(pc), col("vec_id"))
+              .sortWithinPartitions(pc, "vec_id")
+              .write.mode("overwrite").partitionBy(pc).parquet(tmp)
+          case None =>
+            df.repartitionByRange(n, col("vec_id"))
+              .sortWithinPartitions("vec_id")
+              .write.mode("overwrite").parquet(tmp)
+        }
+      }
+    }
+  }
+
   /** Refuse to probe an index this code cannot decode. */
   private[ops] def checkVersion(spark: SparkSession, path: String): Unit = {
     import spark.implicits._

@@ -127,7 +127,9 @@ final class ParquetTableIO(spark: SparkSession, warehouse: String) extends Table
   }
 
   /** Write to a temp name first, then swap. (With an Iceberg catalog this
-    * is a plain transactional overwrite.) */
+    * is a plain transactional overwrite.) Readers created before the swap
+    * pin their old file listing and must be re-created (e.g. re-open the
+    * engine after IndexBuilder.compact). */
   override def replace(df: DataFrame, name: String): Unit = {
     val tmp = name + "__tmp"
     df.write.mode(SaveMode.Overwrite).parquet(path(tmp))
@@ -136,6 +138,7 @@ final class ParquetTableIO(spark: SparkSession, warehouse: String) extends Table
     drop(name)
     fs.rename(new org.apache.hadoop.fs.Path(path(tmp)),
       new org.apache.hadoop.fs.Path(path(name)))
-    ()
+    // invalidate any session-cached listing of the replaced files
+    spark.catalog.refreshByPath(path(name))
   }
 }

@@ -135,6 +135,18 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(persisted <= base, s"per-batch caches grew: $base -> $persisted")
 
+    // compaction between batches: the gate keeps working on the compacted
+    // index — dups of earlier survivors are still caught, fresh docs pass
+    Dedup.compactMinHashIndex(spark, idx)
+    val b5 = spark.createDataset(Seq(
+        (5000L, texts(2L)), // dup of an original corpus doc
+        (5001L, fresh1), // dup of batch 1's survivor (post-compact lookup)
+        (5002L, "wholly novel post compaction document number five")))
+      .toDF("doc_id", "text")
+    val s5 = StreamingDedup.dedupBatch(spark, idx, b5, 102L, runId = "run2")
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(s5 == Set(5002L))
+
     // end-to-end through a real streaming query
     val stream = MemoryStream[(Long, String)]
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
