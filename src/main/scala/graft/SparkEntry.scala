@@ -285,6 +285,15 @@ object SparkEntry {
     "q35_ann_pq_bulk" -> ((s, dir) =>
       Similarity.pqTopKManyIndexed(s, pqIndex(s, dir), s.read.parquet(t(dir, "embeddings")),
         Seq(0L, 1L).map(id => id -> queryEmbedding(s, dir, id)), k = 20)),
+    // bulk LSH/IVF ANN: M queries share ONE partition-pruned scan of the
+    // union of their probed buckets / cells (round-4 VERDICT item 5) —
+    // per-query identical to q16/q27's single-probe paths
+    "q42_ann_lsh_bulk" -> ((s, dir) =>
+      Similarity.lshTopKManyIndexed(s, lshIndex(s, dir),
+        Seq(0L, 1L).map(id => id -> queryEmbedding(s, dir, id)), k = 20)),
+    "q43_ann_ivf_bulk" -> ((s, dir) =>
+      Similarity.ivfTopKManyIndexed(s, ivfIndex(s, dir),
+        Seq(0L, 1L).map(id => id -> queryEmbedding(s, dir, id)), k = 20)),
 
     // ---- multimodal plumbing (decode stubbed, see Multimodal) ---------
     // array columns are digested to md5(to_json(...)) for the contract
@@ -1117,6 +1126,11 @@ object SparkEntry {
     // bulk ANN: the q32 pipeline once per query vector over the SAME
     // codes/codebook CTEs, UNION ALL'd with the query id attached
     "q35_ann_pq_bulk" -> pqBulkOracleSql(Seq(0L, 1L)),
+    // bulk LSH/IVF: the q16 / q27 pipelines once per query over the SAME
+    // bucket / assignment CTEs, UNION ALL'd with the query id attached —
+    // per-query equality with the single probes is the contract
+    "q42_ann_lsh_bulk" -> lshBulkOracleSql(Seq(0L, 1L)),
+    "q43_ann_ivf_bulk" -> ivfBulkOracleSql(Seq(0L, 1L)),
     // bulk boolean/mixed: per-query results must equal the single-query
     // evaluations, so the oracle IS the q21 + q22 pipelines union'd with
     // the query string attached
@@ -1127,6 +1141,62 @@ object SparkEntry {
          |SELECT '"blue whale" whale engine' AS query, *
          |FROM ($q22OracleSql)
          |ORDER BY query, score_e9 DESC, docId ASC""".stripMargin)
+
+  /** q42: the q16 hamming-ball probe per query id over the shared bucket
+    * CTEs (engine probeHamming = 1). */
+  private def lshBulkOracleSql(qids: Seq[Long]): String = {
+    val blocks = qids.map { qid =>
+      s"""qb_$qid AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = $qid),
+         |qe_$qid AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = $qid),
+         |t_$qid AS (
+         |  SELECT $qid AS query_id, e.vec_id,
+         |    list_dot_product(e.embedding::DOUBLE[], qemb::DOUBLE[]) /
+         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[]))) AS cosine
+         |  FROM embeddings e JOIN bkt ON bkt.vec_id = e.vec_id, qb_$qid, qe_$qid
+         |  WHERE e.vec_id <> $qid AND bit_count(xor(bkt.bucket, qbucket)) <= 1
+         |  ORDER BY cosine DESC, e.vec_id ASC LIMIT 20)""".stripMargin
+    }
+    s"""WITH $lshBucketCtes,
+       |${blocks.mkString(",\n")}
+       |${qids.map(q => s"SELECT * FROM t_$q").mkString(" UNION ALL ")}""".stripMargin
+  }
+
+  /** q43: the q27 cell probe per query id over ONE shared codebook +
+    * assignment pass (engine nProbe = 4, nCells = 16). */
+  private def ivfBulkOracleSql(qids: Seq[Long]): String = {
+    val blocks = qids.map { qid =>
+      s"""qe_$qid AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = $qid),
+         |probe_$qid AS (
+         |  SELECT cell FROM c, qe_$qid ORDER BY
+         |    list_dot_product(qemb::DOUBLE[], cemb::DOUBLE[]) /
+         |    (sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[])) *
+         |     sqrt(list_dot_product(cemb::DOUBLE[], cemb::DOUBLE[]))) DESC, cell ASC
+         |  LIMIT 4),
+         |t_$qid AS (
+         |  SELECT $qid AS query_id, e.vec_id,
+         |    list_dot_product(e.embedding::DOUBLE[], qemb::DOUBLE[]) /
+         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(qemb::DOUBLE[], qemb::DOUBLE[]))) AS cosine
+         |  FROM asg e, qe_$qid
+         |  WHERE e.vec_id <> $qid AND e.cell IN (SELECT cell FROM probe_$qid)
+         |  ORDER BY cosine DESC, e.vec_id ASC LIMIT 20)""".stripMargin
+    }
+    s"""WITH c AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cemb
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |asg AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) /
+       |        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       |         sqrt(list_dot_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[]))) DESC,
+       |        c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+       |${blocks.mkString(",\n")}
+       |${qids.map(q => s"SELECT * FROM t_$q").mkString(" UNION ALL ")}""".stripMargin
+  }
 
   /** q35: the q32 shortlist + re-rank per query id, shared base CTEs. */
   private def pqBulkOracleSql(qids: Seq[Long]): String = {

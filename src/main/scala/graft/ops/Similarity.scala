@@ -269,6 +269,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** Bulk LSH ANN (round-4 VERDICT item 5): top-k for MANY query vectors
+    * in ONE partition-pruned scan of the UNION of their hamming-ball probe
+    * buckets — `lshTopKIndexed` costs one job per query; a batch of M
+    * queries (deduping a day's documents against the corpus) should pay
+    * one scan, like the PQ bulk path (q35) and searchMany. The driver
+    * computes each query's probe set, broadcasts (bucket → query_id)
+    * pairs plus the query vectors, and one window takes each query's
+    * top-k. Per-query results are IDENTICAL to `lshTopKIndexed`: the same
+    * codegen'd `cosineCol` over the same probed rows, the same
+    * (cosine desc, vec_id asc) order.
+    *
+    * @return (query_id, vec_id, cosine), ≤ k rows per query */
+  def lshTopKManyIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queries: Seq[(Long, Seq[Float])], // (query vec_id — excluded from results, vector)
+      k: Int,
+      probeHamming: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "lshTopKManyIndexed needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "lshTopKManyIndexed: duplicate query ids in the batch")
+    checkVersion(spark, indexPath)
+    val (planes, dims, seed) =
+      spark.read.parquet(metaPath(indexPath)).as[(Int, Int, Long)].head()
+    val hyper = DetHash.signPlanes(planes, dims, seed)
+    val probePairs = queries.flatMap { case (qid, v) =>
+      require(v.length == dims, s"query $qid dims ${v.length} != index dims $dims")
+      probeBuckets(hyperplaneSig(v, hyper), planes, probeHamming).map(b => (b, qid))
+    }
+    val shift = partShift(planes)
+    val parts = probePairs.map(_._1 >>> shift).distinct
+    val allBuckets = probePairs.map(_._1).distinct
+    val pp = spark.createDataset(probePairs).toDF("bucket", "query_id")
+    val qVecs = spark.createDataset(
+        queries.map { case (qid, v) => (qid, v.map(_.toDouble)) })
+      .toDF("query_id", "qvec")
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    spark.read.parquet(s"$indexPath/assignments")
+      .filter(col("part").isin(parts: _*) && col("bucket").isin(allBuckets: _*))
+      .join(broadcast(pp), Seq("bucket"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cosine"))
+      .withColumn("rn", row_number().over(wK)).filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cosine")
+  }
+
   /** One-shot LSH top-k (no persisted index): the assignment map pass runs
     * inline — use ONLY for ad-hoc queries over transient frames; repeated
     * queries must go through buildLshIndex + lshTopKIndexed, otherwise
@@ -822,6 +872,50 @@ object Similarity {
       .select(col("vec_id"), cosineCol(col("embedding"), qd).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Bulk IVF ANN: the `lshTopKManyIndexed` shape over cells — every
+    * query ranks the driver-side codebook, the UNION of all probed cells
+    * is read in ONE partition-pruned scan, and a broadcast (cell →
+    * query_id) join + per-query window replaces M separate jobs.
+    * Per-query results are identical to `ivfTopKIndexed`.
+    *
+    * @return (query_id, vec_id, cosine), ≤ k rows per query */
+  def ivfTopKManyIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queries: Seq[(Long, Seq[Float])], // (query vec_id — excluded from results, vector)
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "ivfTopKManyIndexed needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "ivfTopKManyIndexed: duplicate query ids in the batch")
+    checkVersion(spark, indexPath)
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    val probePairs = queries.flatMap { case (qid, v) =>
+      centroids
+        .map { case (cell, cv) => (cell, cosine(v, cv)) }
+        .sortBy { case (cell, c) => (-c, cell) }
+        .take(nProbe).map { case (cell, _) => (cell, qid) }
+    }
+    val allCells = probePairs.map(_._1).distinct
+    val pp = spark.createDataset(probePairs).toDF("cell", "query_id")
+    val qVecs = spark.createDataset(
+        queries.map { case (qid, v) => (qid, v.map(_.toDouble)) })
+      .toDF("query_id", "qvec")
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    spark.read.parquet(s"$indexPath/assignments")
+      .filter(col("cell").isin(allCells: _*))
+      .join(broadcast(pp), Seq("cell"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cosine"))
+      .withColumn("rn", row_number().over(wK)).filter(col("rn") <= k)
+      .select("query_id", "vec_id", "cosine")
   }
 
   /** Top-k over a persisted IVF index: the query ranks the (tiny, driver-

@@ -271,6 +271,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk LSH/IVF ANN: one pruned scan for M queries, per-query identical to the single path") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    val qids = Seq(0L, 7L, 123L)
+    val qs = qids.map(id => id -> clusteredVecs.find(_._1 == id).get._2)
+    def grouped(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r._2, r._3)).sortBy { case (id, c) => (-c, id) }.toVector
+      }
+
+    val lsh = java.nio.file.Files.createTempDirectory("lsh_bulk").toString
+    Similarity.buildLshIndex(spark, emb, lsh, planesOpt = Some(4))
+    val lshBulk = grouped(
+      Similarity.lshTopKManyIndexed(spark, lsh, qs, k = 10, probeHamming = 2))
+    qs.foreach { case (qid, v) =>
+      val single = Similarity.lshTopKIndexed(spark, lsh, v, qid, 10, probeHamming = 2)
+        .as[(Long, Double)].collect().toVector
+      assert(lshBulk.getOrElse(qid, Vector.empty) == single, s"lsh query $qid")
+    }
+    // one scan: the union of probe buckets reaches the parquet source as
+    // partition + data filters (pruned, not a corpus scan)
+    val plan = Similarity.lshTopKManyIndexed(spark, lsh, qs, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("part"),
+      s"expected partition filters in:\n$plan")
+
+    val ivf = java.nio.file.Files.createTempDirectory("ivf_bulk").toString
+    Similarity.buildIvfIndex(spark, emb, ivf, nCells = 16)
+    val ivfBulk = grouped(
+      Similarity.ivfTopKManyIndexed(spark, ivf, qs, k = 10, nProbe = 6))
+    qs.foreach { case (qid, v) =>
+      val single = Similarity.ivfTopKIndexed(spark, ivf, v, qid, 10, nProbe = 6)
+        .as[(Long, Double)].collect().toVector
+      assert(ivfBulk.getOrElse(qid, Vector.empty) == single, s"ivf query $qid")
+    }
+  }
+
   test("ANN version guard: probes refuse a stale or unversioned index") {
     import spark.implicits._
     val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
