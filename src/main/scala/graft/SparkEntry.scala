@@ -295,20 +295,27 @@ object SparkEntry {
       Similarity.ivfTopKManyIndexed(s, ivfIndex(s, dir),
         Seq(0L, 1L).map(id => id -> queryEmbedding(s, dir, id)), k = 20)),
 
-    // ---- multimodal plumbing (decode stubbed, see Multimodal) ---------
-    // array columns are digested to md5(to_json(...)) for the contract
-    // output only (the compare harness sorts the frame and arrays aren't
-    // hashable there); the library API keeps the real arrays
+    // ---- multimodal: kind-dispatched REAL codecs ----------------------
+    // q17 synthesizes ACTUAL encoded media per kind (PNG / WAVE / AVI)
+    // and extracts integer feature accumulators through the REAL decoders
+    // (ImageIO, javax.sound.sampled, the RIFF walker) — the containers
+    // are codec-dependent bytes, but the DECODED sums are exact integer
+    // functions of the source text, so DuckDB recomputes them; the array
+    // is digested to md5(to_json(...)) for the compare harness only
     "q17_media_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))
-        .select(col("media_id"), col("kind"), col("n_bytes"),
+      Multimodal.extractFeaturesReal(s,
+        Multimodal.synthesizeMedia(s.read.parquet(t(dir, "documents"))))
+        .select(col("media_id"), col("kind"),
           md5(to_json(col("feature_sums"))).as("features_md5"))),
-    // frame payloads as UTF-8 strings for the contract (binary columns are
-    // unsortable bytearrays in the harness's pandas compare)
+    // q18: frame SAMPLING over real AVI containers — 8-frame videos, every
+    // 2nd frame decoded (the skipped frames never reach the codec); the
+    // decoded per-frame channel means recompute from the synthesis formula
     "q18_media_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(s, Multimodal.synthesize(s.read.parquet(t(dir, "documents"))))
-        .select(col("media_id"), col("frame_idx"),
-          col("frame_bytes").cast("string").as("frame_str"))),
+      Multimodal.sampleFramesReal(s,
+        Multimodal.synthesizeVideos(
+          s.read.parquet(t(dir, "documents")).filter(col("doc_id") % 3 === 2),
+          nFrames = 8),
+        stride = 2, maxFrames = 4)),
     // REAL codec check: PNG is lossless, so the ImageIO-decoded channel
     // means must equal means computed straight from the synthesis bytes —
     // which DuckDB recomputes from text (the AWT thumbnail stays API-only:
@@ -962,27 +969,47 @@ object SparkEntry {
         |  sum(g)::DOUBLE / 256.0 AS mean_g,
         |  sum(b)::DOUBLE / 256.0 AS mean_b
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
-    // the decode STUB's integer byte-sum accumulators, recomputed from the
-    // payload (UTF-8 text bytes; documents are ASCII) — md5 of the same
-    // "[s0,...,s15]" json both engines render identically for integers
+    // kind-dispatched REAL decode accumulators, recomputed per kind from
+    // the synthesis formulas (PNG/WAVE/PNG-in-AVI are lossless, so the
+    // decoded integer sums are exact functions of text || doc_id) — md5 of
+    // the same "[a,b,...]" json both engines render identically for longs
     "q17_media_features" ->
-      """WITH slots AS (SELECT unnest(range(0, 16)) AS slot),
-        |bytes AS (
-        |  SELECT doc_id, p % 16 AS slot, ascii(substring(text, CAST(p + 1 AS INTEGER), 1))::BIGINT AS b
-        |  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS p FROM documents)),
-        |sums AS (SELECT doc_id, slot, sum(b)::BIGINT AS s FROM bytes GROUP BY doc_id, slot),
-        |arr AS (
-        |  SELECT d.doc_id,
-        |    '[' || array_to_string(list(coalesce(s.s, 0) ORDER BY sl.slot), ',') || ']' AS js
-        |  FROM documents d CROSS JOIN slots sl
-        |  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.slot = sl.slot
-        |  GROUP BY d.doc_id)
-        |SELECT a.doc_id AS media_id,
-        |  CASE WHEN a.doc_id % 3 = 0 THEN 'image' WHEN a.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  length(d.text)::BIGINT AS n_bytes,
-        |  md5(a.js) AS features_md5
-        |FROM arr a JOIN documents d USING (doc_id)
-        |ORDER BY media_id""".stripMargin,
+      """WITH src AS (
+        |  SELECT doc_id, text || CAST(doc_id AS VARCHAR) AS s,
+        |    length(text || CAST(doc_id AS VARCHAR)) AS L
+        |  FROM documents),
+        |img0 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(ascii(substr(s, CAST((i % L) + 1 AS INTEGER), 1))) AS BIGINT) AS sr,
+        |    CAST(sum(ascii(substr(s, CAST(((i*7 + 3) % L) + 1 AS INTEGER), 1))) AS BIGINT) AS sg,
+        |    CAST(sum((doc_id + i) % 256) AS BIGINT) AS sb
+        |  FROM src, (SELECT unnest(range(0, 256)) AS i)
+        |  WHERE doc_id % 3 = 0 GROUP BY doc_id),
+        |img AS (SELECT doc_id, 'image' AS kind,
+        |          '[16,16,' || sr || ',' || sg || ',' || sb || ']' AS js FROM img0),
+        |aud0 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(abs(v)) AS BIGINT) AS sa
+        |  FROM (SELECT doc_id,
+        |          (ascii(substr(s, CAST((i % L) + 1 AS INTEGER), 1)) - 128) * 256
+        |            + ((doc_id + i) % 256) AS v
+        |        FROM src, (SELECT unnest(range(0, 256)) AS i)
+        |        WHERE doc_id % 3 = 1)
+        |  GROUP BY doc_id),
+        |aud AS (SELECT doc_id, 'audio' AS kind,
+        |          '[8000,256,' || sv || ',' || sa || ']' AS js FROM aud0),
+        |vid0 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(ascii(substr(s, CAST(((i + 3*f) % L) + 1 AS INTEGER), 1))) AS BIGINT) AS sr,
+        |    CAST(sum(ascii(substr(s, CAST(((i*7 + 3 + f) % L) + 1 AS INTEGER), 1))) AS BIGINT) AS sg,
+        |    CAST(sum((doc_id + i + f) % 256) AS BIGINT) AS sb
+        |  FROM src, (SELECT unnest(range(0, 4)) AS f), (SELECT unnest(range(0, 256)) AS i)
+        |  WHERE doc_id % 3 = 2 GROUP BY doc_id),
+        |vid AS (SELECT doc_id, 'video' AS kind,
+        |          '[4,' || sr || ',' || sg || ',' || sb || ']' AS js FROM vid0),
+        |allr AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+        |SELECT doc_id AS media_id, kind, md5(js) AS features_md5
+        |FROM allr ORDER BY media_id""".stripMargin,
     // the REAL javax.sound.sampled path: synthesized PCM16 samples are
     // integer functions of (text || doc_id) and WAV is lossless, so the
     // decoded means (exact /256 rationals) are recomputed from text
@@ -1018,12 +1045,25 @@ object SparkEntry {
         |  sum(g)::DOUBLE / 256.0 AS mean_g,
         |  sum(b)::DOUBLE / 256.0 AS mean_b
         |FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin,
+    // sampled frames (stride 2 over 8-frame AVIs): only f ∈ {0,2,4,6}
+    // are decoded; means recompute from the q30 synthesis formula
     "q18_media_frames" ->
-      """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
-        |  substring(text, CAST(f*64+1 AS INTEGER), 4) AS frame_str
-        |FROM documents, (SELECT unnest([0,1,2,3]) AS f)
-        |WHERE doc_id % 3 = 2 AND length(substring(text, CAST(f*64+1 AS INTEGER), 4)) > 0
-        |ORDER BY media_id, frame_idx""".stripMargin,
+      """WITH px AS (
+        |  SELECT doc_id, f, i,
+        |    ascii(substr(s, CAST(((i + 3*f) % L) + 1 AS INTEGER), 1))::BIGINT AS r,
+        |    ascii(substr(s, CAST(((i*7 + 3 + f) % L) + 1 AS INTEGER), 1))::BIGINT AS g,
+        |    (doc_id + i + f) % 256 AS b
+        |  FROM (SELECT doc_id, text || CAST(doc_id AS VARCHAR) AS s,
+        |          length(text || CAST(doc_id AS VARCHAR)) AS L
+        |        FROM documents WHERE doc_id % 3 = 2),
+        |       (SELECT unnest([0, 2, 4, 6]) AS f),
+        |       (SELECT unnest(range(0, 256)) AS i))
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  16 AS width, 16 AS height,
+        |  sum(r)::DOUBLE / 256.0 AS mean_r,
+        |  sum(g)::DOUBLE / 256.0 AS mean_g,
+        |  sum(b)::DOUBLE / 256.0 AS mean_b
+        |FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin,
     // Independent end-to-end BM25 oracles over the corpus dumped by Verify
     // ({GRAFT_OUT} is substituted with the absolute output dir there).
     // Tokenizer: maximal [A-Za-z0-9_'-] runs trimmed to \w ends; doc_len =

@@ -565,6 +565,57 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("kind-dispatched real media: features + sampled frames recompute from the formulas") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(30)
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val feats = Multimodal.extractFeaturesReal(spark, Multimodal.synthesizeMedia(docs))
+      .as[(Long, String, Long, Seq[Long])].collect()
+    assert(feats.length == 30)
+    assert(feats.map(_._2).toSet == Set("image", "audio", "video"))
+    feats.foreach { case (id, kind, nBytes, sums) =>
+      assert(nBytes > 0)
+      val s = (texts(id) + id).getBytes("UTF-8")
+      val l = s.length
+      kind match {
+        case "image" =>
+          var r = 0L; var g = 0L; var b = 0L
+          (0 until 256).foreach { i =>
+            r += s(i % l) & 0xff; g += s((i * 7 + 3) % l) & 0xff; b += (id + i) & 0xff
+          }
+          assert(sums == Seq(16L, 16L, r, g, b), s"image $id")
+        case "audio" =>
+          val vs = (0 until 256).map(i => ((s(i % l) & 0xff) - 128) * 256 + ((id + i) % 256).toInt)
+          assert(sums == Seq(8000L, 256L, vs.sum.toLong, vs.map(math.abs).sum.toLong), s"audio $id")
+        case "video" =>
+          var r = 0L; var g = 0L; var b = 0L
+          for (f <- 0 until 4; i <- 0 until 256) {
+            r += s((i + 3 * f) % l) & 0xff
+            g += s((i * 7 + 3 + f) % l) & 0xff
+            b += (id + i + f) & 0xff
+          }
+          assert(sums == Seq(4L, r, g, b), s"video $id")
+      }
+    }
+    // sampled frames: stride-2 over an 8-frame AVI decodes exactly 0,2,4,6
+    val vids = docs.filter($"doc_id" % 3 === 2)
+    val frames = Multimodal.sampleFramesReal(spark,
+      Multimodal.synthesizeVideos(vids, nFrames = 8), stride = 2, maxFrames = 4)
+      .as[(Long, Int, Int, Int, Double, Double, Double)].collect()
+    assert(frames.map(_._2).toSet == Set(0, 2, 4, 6))
+    frames.foreach { case (id, f, w, h, mr, mg, mb) =>
+      assert(w == 16 && h == 16)
+      val s = (texts(id) + id).getBytes("UTF-8"); val l = s.length
+      var r = 0L; var g = 0L; var b = 0L
+      (0 until 256).foreach { i =>
+        r += s((i + 3 * f) % l) & 0xff
+        g += s((i * 7 + 3 + f) % l) & 0xff
+        b += (id + i + f) & 0xff
+      }
+      assert(mr == r / 256.0 && mg == g / 256.0 && mb == b / 256.0, s"media $id frame $f")
+    }
+  }
+
   test("real image decode: PNG round-trip through ImageIO, resize, features") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
