@@ -203,7 +203,10 @@ object Dedup {
     val pruned =
       if (idArr.isEmpty) sigs.filter(lit(false))
       else if (idArr.length <= MaxIsinIds) sigs.filter(col("doc_id").isin(idArr.toIndexedSeq: _*))
-      else sigs.join(ids, Seq("doc_id"), "left_semi")
+      // explicit broadcast: a size-estimated sort-merge semi-join would
+      // SHUFFLE the corpus-sized sigs table, which is worse than the scan
+      // it replaces; the id set is candidate-sized by construction
+      else sigs.join(broadcast(ids), Seq("doc_id"), "left_semi")
     val est = c
       .join(pruned.toDF("doc_a", "sig_a"), Seq("doc_a"))
       .join(pruned.toDF("doc_b", "sig_b"), Seq("doc_b"))

@@ -142,6 +142,34 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("dense one-shuffle path bit-identical to driver + distributed algebras on q01-q20") {
+    val (io, _) = built
+    val engine = new SparkSearchEngine(spark, io)
+    queries.foreach { case (name, (q, accuracy)) =>
+      val distributed = engine.topK(engine.scores(q), accuracy, 100)
+      assert(engine.topKDense(q, accuracy, 100) == distributed, s"$name '$q'")
+    }
+    // extra shapes: nonzero defaults (NOT), empty atoms, duplicate atoms,
+    // several accuracies — the dense fill and normalization constants must
+    // track the driver exactly everywhere
+    val extra = Seq(
+      "NOT \"blue whale\"",
+      "\"blue whale\" AND \"red fish\"",
+      "(\"blue whale\" OR \"query engine\") NOT \"red fish\"",
+      "\"blue whale\" whale whale engine",
+      "\"zzz nothing\"",
+      "\"blue whale\" \"blue whale\"")
+    for (q <- extra; acc <- Seq(0.0, Double.MinPositiveValue, 0.4)) {
+      assert(engine.topKDense(q, acc, 50) == engine.topK(engine.scores(q), acc, 50),
+        s"'$q' at accuracy $acc")
+    }
+    // dense path leaves no cached frames behind
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val base = persisted
+    engine.topKDense("\"blue whale\" whale engine", 0.0, 10)
+    assert(persisted <= base, "dense evaluator must release its aligned cache")
+  }
+
   test("WAND term top-k identical to the exhaustive path (all q terms + edge cases)") {
     val (io, oracle) = built
     val engine = new SparkSearchEngine(spark, io)
@@ -228,6 +256,8 @@ class EngineSpec extends AnyFunSuite {
         engine.topK(engine.scores(q), acc, 100), s"$name distributed")
       assert(forced.topKDriver(q, acc, 100) == engine.topKDriver(q, acc, 100),
         s"$name driver")
+      assert(forced.topKDense(q, acc, 100) == engine.topKDense(q, acc, 100),
+        s"$name dense")
     }
     // bulk phrase path under the forced filter
     val qs = Seq("\"blue whale\"", "\"red fish\"", "whale")
