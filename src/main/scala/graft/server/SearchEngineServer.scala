@@ -206,10 +206,12 @@ final class SearchEngineServer(
       |""".stripMargin
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(): Int = {
     server = HttpServer.create(new java.net.InetSocketAddress(host, port), 0)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
 
     server.createContext("/", handler("GET") { ex =>
       if (ex.getRequestURI.getPath != "/") (404, "unknown route")
@@ -351,7 +353,12 @@ final class SearchEngineServer(
     Seq(Tables.PostingsRaw, Tables.DocDict, Tables.Stats, Tables.TermStats,
       Tables.Postings, Tables.Blocks, Tables.Lineage).foreach(io.drop)
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    // the handler pool is non-daemon: without this a programmatic embedder
+    // (benches, tests) never gets its JVM back after stop()
+    if (pool != null) { pool.shutdown(); () }
+  }
 }
 
 /** `spark-submit --class graft.server.ServerMain <jar> --warehouse W
