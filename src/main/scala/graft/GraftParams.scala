@@ -37,6 +37,13 @@ final case class GraftParams(
       * corpus where every stem is a head term (df(head) ≈ 0.4·Σdf), the
       * unconditional filter ran 0.76–0.87× — the Bloom build plus the
       * per-row test cost more than the ~30% shuffle cut paid back. */
-    phrasePrefilterMaxRatio: Double = 0.25) {
+    phrasePrefilterMaxRatio: Double = 0.25,
+    /** ceiling on un-compacted tombstones an engine will hold as the
+      * exact driver/broadcast skip set for the WAND kernels (8 bytes/id
+      * ⇒ the 10M default is 80 MB — a deliberately generous bound; a
+      * Bloom filter is NOT an option here because a false positive would
+      * drop a live document). Past it, queries refuse until
+      * IndexBuilder.compact() purges the tombstones physically. */
+    maxDeletedIdsInMemory: Int = 10000000) {
   def termFrequencyWeight: Double = 1 - exactMatchWeight
 }

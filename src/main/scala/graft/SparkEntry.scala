@@ -74,6 +74,8 @@ object SparkEntry {
     * so Bench measures query latency, not one-off builds. */
   def warm(s: SparkSession, dir: String): Unit = {
     transcriptEngine(s, dir).stats
+    deletedEngine(s, dir, compacted = false).stats
+    deletedEngine(s, dir, compacted = true).stats
     lshIndex(s, dir)
     ivfIndex(s, dir)
     pqIndex(s, dir)
@@ -129,6 +131,39 @@ object SparkEntry {
         s.read.parquet(t(dir, "documents")).filter(col("doc_id") < MinHashSplit), p)
     p
   }
+
+  /** q44/q45: every docId ≡ DeleteRem (mod DeleteMod) is tombstoned out of
+    * the index (IndexBuilder.deleteDocs). q44 queries THROUGH the
+    * tombstones (anti-join + WAND skip set + df deltas); q45 queries after
+    * compact() physically purged them. Both must equal a from-scratch
+    * build on the surviving corpus — the oracle recomputes stats/df over
+    * the survivors (docIds keep their pre-delete values: tombstoning never
+    * renumbers). The oracle SQL hard-codes the modulus below. */
+  private val DeleteMod = 7L
+  private val DeleteRem = 3L
+  private val delEngines = scala.collection.mutable.Map.empty[String, SparkSearchEngine]
+  private def deletedEngine(s: SparkSession, dir: String, compacted: Boolean): SparkSearchEngine =
+    delEngines.getOrElseUpdate(s"$dir#$compacted", {
+      val convs = corpusConvs(dir)
+      val variant = if (compacted) "delc" else "del"
+      val wh = s"/tmp/graft_entry_wh_fmt${graft.build.Tables.FormatVersion}" +
+        s"_gen${TranscriptGen.Version}/${variant}_m${DeleteMod}r${DeleteRem}_convs_$convs"
+      val io = new ParquetTableIO(s, wh)
+      val done = new java.io.File(s"$wh/delete_setup_done")
+      if (!done.exists()) {
+        import s.implicits._
+        val b = new IndexBuilder(s, io)
+        b.build(TranscriptGen.generate(s, convs), resume = true, assumeSorted = true)
+        // deleteDocs is batch-ledgered, compact is idempotent — a crash
+        // anywhere in this block is repaired by simply rerunning it
+        val ids = io.read(graft.build.Tables.DocDict).select(col("docId"))
+          .filter(pmod(col("docId"), lit(DeleteMod)) === lit(DeleteRem)).as[Long]
+        b.deleteDocs(ids, batchId = 0L)
+        if (compacted) b.compact()
+        done.createNewFile()
+      }
+      new SparkSearchEngine(s, io)
+    })
 
   /** Contract projection of searchFrame: scores as round(s·1e9) so the
     * DuckDB oracle compare is ulp-robust (see q19/q20 notes). */
@@ -372,7 +407,17 @@ object SparkEntry {
     "q40_bulk_boolean_search" -> ((s, dir) =>
       transcriptEngine(s, dir).searchManyAuto(bulkBooleanQueries)
         .select(col("query"), col("docId"), col("conv_id"), col("turn_idx"),
-          round(col("score") * 1e9).cast("long").as("score_e9"))))
+          round(col("score") * 1e9).cast("long").as("score_e9"))),
+    // document deletion (tombstones): the q19 search over an index with
+    // docId ≡ 3 (mod 7) tombstoned — df/idf, corpus stats, and the WAND
+    // skip set must all see only the survivors (the oracle rebuilds the
+    // whole scoring chain over the surviving corpus from scratch)
+    "q44_delete_search" -> ((s, dir) =>
+      scoreE9(deletedEngine(s, dir, compacted = false).searchFrame("whale"))),
+    // ...and after compact() physically purged the tombstones: identical
+    // results from a warehouse whose delete tables no longer exist
+    "q45_delete_compact_search" -> ((s, dir) =>
+      scoreE9(deletedEngine(s, dir, compacted = true).searchFrame("whale"))))
 
   private val bulkMixedQueries: Seq[String] =
     Seq("whale", "fish", "\"blue whale\"", "\"red fish\"")
@@ -1180,7 +1225,40 @@ object SparkEntry {
          |UNION ALL
          |SELECT '"blue whale" whale engine' AS query, *
          |FROM ($q22OracleSql)
-         |ORDER BY query, score_e9 DESC, docId ASC""".stripMargin)
+         |ORDER BY query, score_e9 DESC, docId ASC""".stripMargin,
+    // document deletion: the q19 chain recomputed over the SURVIVING corpus
+    // (docId % 7 <> 3) — docIds keep their pre-delete row_number values
+    // (tombstoning never renumbers), but stats (n, avgdl) and df count only
+    // survivors. q45 runs the same search after compact() physically purged
+    // the tombstones, so it shares the SQL: purge must not change results.
+    "q44_delete_search" -> deleteSearchOracleSql,
+    "q45_delete_compact_search" -> deleteSearchOracleSql)
+
+  /** q44/q45: q19's independent BM25 chain with every docId ≡ 3 (mod 7)
+    * removed BEFORE stats/df (the engine's deleteDocs recomputes both over
+    * the survivors; integer doc_len sums are exact in IEEE double, so the
+    * oracle's sum/count avgdl equals the engine's). */
+  private def deleteSearchOracleSql: String =
+    """WITH docs0 AS (
+      |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS docId, conv_id, turn_idx,
+      |    len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+      |          t -> trim(t, '''-')), t -> t <> '')) AS doc_len,
+      |    len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_''-]+'),
+      |          t -> lower(trim(t, '''-')) IN ('whale', 'whales'))) AS tf
+      |  FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+      |docs AS (SELECT * FROM docs0 WHERE docId % 7 <> 3),
+      |st AS (SELECT count(*)::DOUBLE AS n, sum(doc_len)::DOUBLE / count(*)::DOUBLE AS avgdl FROM docs),
+      |m AS (SELECT * FROM docs WHERE tf > 0),
+      |dfc AS (SELECT count(*)::DOUBLE AS df FROM m),
+      |scored AS (
+      |  SELECT docId, conv_id, turn_idx,
+      |    ln(((n - df) + 0.5) / (df + 0.5) + 1.0)
+      |      * ((tf::DOUBLE * 2.5) / (tf::DOUBLE + 1.5 * (0.25 + 0.75 * (doc_len::DOUBLE / avgdl)))) AS s
+      |  FROM m, st, dfc),
+      |mx AS (SELECT max(s) AS mx FROM scored)
+      |SELECT docId, conv_id, turn_idx,
+      |  CAST(round((0.4*(s/mx) + 0.6*(s/mx)) * 1000000000.0) AS BIGINT) AS score_e9
+      |FROM scored, mx ORDER BY s DESC, docId ASC LIMIT 100""".stripMargin
 
   /** q42: the q16 hamming-ball probe per query id over the shared bucket
     * CTEs (engine probeHamming = 1). */

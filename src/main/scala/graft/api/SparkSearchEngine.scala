@@ -41,8 +41,57 @@ final class SparkSearchEngine(
     val r = io.read(Tables.Stats).as[(Long, Double)].head()
     IndexStats(r._1, r._2)
   }
-  private lazy val postings = io.read(Tables.Postings)
-  private lazy val dict = io.read(Tables.DocDict)
+
+  /** Un-compacted tombstones (IndexBuilder.deleteDocs), applied by every
+    * query path; None on the common never-deleted path — the exists()
+    * check is one file stat, and the plans below are byte-identical to
+    * the pre-deletes engine when it returns None. Engine-lifetime
+    * snapshot, like every other table here: re-open the engine after a
+    * maintenance op (delete/compact/incremental append). */
+  private lazy val deletes: Option[DataFrame] =
+    if (io.exists(Tables.Deletes)) Some(io.read(Tables.Deletes).select($"docId"))
+    else None
+  private def minusDeleted(df: DataFrame): DataFrame =
+    deletes.fold(df)(d => df.join(broadcast(d), Seq("docId"), "left_anti"))
+  private lazy val postings = minusDeleted(io.read(Tables.Postings))
+  private lazy val dict = minusDeleted(io.read(Tables.DocDict))
+
+  /** Exact deleted-id skip set for the WAND kernels (a Bloom filter's
+    * false positive would drop a LIVE doc — unacceptable, unlike the
+    * phrase prefilter where FPs fold to tf=0). Collected once per engine;
+    * bounded by `params.maxDeletedIdsInMemory`, past which the warehouse
+    * needs a compact() before block-index queries. */
+  private lazy val deletedIdsSorted: Option[Array[Long]] = deletes.map { d =>
+    val arr = d.limit(params.maxDeletedIdsInMemory + 1).as[Long].collect()
+    if (arr.length > params.maxDeletedIdsInMemory) throw new IllegalStateException(
+      s"more than ${params.maxDeletedIdsInMemory} tombstoned docs — run " +
+        "IndexBuilder.compact() to purge them (or raise maxDeletedIdsInMemory)")
+    java.util.Arrays.sort(arr)
+    arr
+  }
+  /** (broadcast handle, executor-side membership test) for the kernels. */
+  private lazy val deletedBroadcast
+      : Option[org.apache.spark.broadcast.Broadcast[Array[Long]]] =
+    deletedIdsSorted.map(spark.sparkContext.broadcast(_))
+  /** NOTE: must be resolved to a local `val` BEFORE entering a
+    * mapPartitions closure — invoking this instance method inside one
+    * captures the (non-serializable) engine itself. The returned lambdas
+    * capture only the broadcast handle. */
+  private def deletedFn(
+      b: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]]): Long => Boolean =
+    b match {
+      case Some(bc) =>
+        id => java.util.Arrays.binarySearch(bc.value, id) >= 0
+      case None => _ => false
+    }
+
+  /** Per-term tombstone df deltas (sum across delete batches) for the
+    * paths that derive df from block metadata instead of filtered rows. */
+  private def termDeltas(keys: Seq[String]): Map[String, Long] =
+    if (deletes.isEmpty || !io.exists(Tables.DeletedTermDf)) Map.empty
+    else io.read(Tables.DeletedTermDf).filter($"term".isin(keys: _*))
+      .groupBy($"term").agg(sum($"delta").as("d"))
+      .as[(String, Long)].collect().toMap
 
   /** sparse frame (docId: Long, score: Double) + implicit default score */
   final case class Scores(df: DataFrame, default: Double)
@@ -585,18 +634,24 @@ final class SparkSearchEngine(
     // incrementally appended segments
     val dfArr = io.read(Tables.Blocks).filter($"term" === key)
       .agg(sum($"n_docs")).as[Option[Long]].collect()
+    // block metadata counts tombstoned docs too — subtract the recorded
+    // per-term delta so idf matches a filtered-postings recount exactly
+    val dfLive = dfArr.headOption.flatten
+      .map(_ - termDeltas(Seq(key)).getOrElse(key, 0L)).filter(_ > 0L)
     val raw: Vector[(Long, Double)] =
-      if (dfArr.isEmpty || dfArr.head.isEmpty) Vector.empty
+      if (dfLive.isEmpty) Vector.empty
       else {
-        val dfCount = dfArr.head.get.toDouble
+        val dfCount = dfLive.get.toDouble
         val n = stats.total_docs.toDouble
         // StrictMath: Catalyst's log expression uses StrictMath.log, and
         // Math.log may differ in the last ulp on some JITs
         val idf = StrictMath.log(((n - dfCount) + 0.5) / (dfCount + 0.5) + 1.0)
         val p = params; val st = stats
+        val delFn = deletedFn(deletedBroadcast)
         val cands = io.read(Tables.Blocks).filter($"term" === key)
           .as[graft.model.IndexBlock]
-          .mapPartitions(it => Wand.topKForPartition(it, idf, k, p, st))
+          .mapPartitions(it =>
+            Wand.topKForPartition(it, idf, k, p, st, delFn))
           .collect()
         Wand.mergeTopK(cands.toIndexedSeq, k)
       }
@@ -847,16 +902,20 @@ final class SparkSearchEngine(
     val keys = keyed.map(_._2).distinct
     val blocks = io.read(Tables.Blocks).filter($"term".isin(keys: _*))
     val n = stats.total_docs.toDouble
+    val deltas = termDeltas(keys)
     val idfByTerm = blocks.groupBy($"term").agg(sum($"n_docs").as("df"))
       .as[(String, Long)].collect()
-      .map { case (t, df) =>
+      .map { case (t, dfRaw) =>
+        val df = dfRaw - deltas.getOrElse(t, 0L)
         t -> StrictMath.log(((n - df) + 0.5) / (df + 0.5) + 1.0)
       }.toMap
     val p = params; val st = stats
     val bIdf = spark.sparkContext.broadcast(idfByTerm)
+    val delFn = deletedFn(deletedBroadcast)
     val qdf = spark.createDataset(keyed).toDF("query", "term")
     blocks.as[graft.model.IndexBlock]
-      .mapPartitions(it => Wand.topKForPartitionMulti(it, bIdf.value, k, p, st))
+      .mapPartitions(it =>
+        Wand.topKForPartitionMulti(it, bIdf.value, k, p, st, delFn))
       .toDF("term", "docId", "s")
       .join(broadcast(qdf), Seq("term"))
       .select($"query", $"docId", $"s")

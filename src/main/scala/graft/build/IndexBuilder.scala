@@ -13,8 +13,12 @@ object Tables {
     * must be impossible (cache paths embed this).
     * v5: block payload = scores section (docIds, tf/docLen) + length-
     * prefixed positions section, and BUILT blocks are positions-free
-    * (phrases read the postings table, which keeps full positions). */
-  val FormatVersion = 5
+    * (phrases read the postings table, which keeps full positions).
+    * v6: optional tombstone tables (`deleted_docs` + per-term `deleted_df`
+    * deltas) that every query path must apply — a deletes-unaware engine
+    * reading a tombstoned warehouse would silently resurrect deleted docs,
+    * which is exactly the silent-wrong-results class the marker guards. */
+  val FormatVersion = 6
   val Format = "format"
   val PostingsRaw = "postings_raw"
   val DocDict = "doc_dict"
@@ -23,6 +27,21 @@ object Tables {
   val Postings = "postings"
   val Blocks = "index_blocks"
   val Lineage = "lineage"
+  /** Tombstoned docIds (docId: Long) — applied by every query path until
+    * `compact()` physically purges them. */
+  val Deletes = "deleted_docs"
+  /** Per-term df deltas of the tombstoned docs (term, delta) — keeps the
+    * WAND path's block-metadata df exact without re-scanning postings at
+    * query time. */
+  val DeletedTermDf = "deleted_df"
+  /** Lineage-ledger stage name of committed delete batches (deleteDocs
+    * idempotency; the server derives its next batchId from it). */
+  val DeleteLedgerStage = "delete_batch"
+  /** Marker: the lowest docId a future incremental append may assign.
+    * Written by compact() before it purges tombstoned dictionary rows, so
+    * a purged id is never reused (a recycled id would alias any state an
+    * external consumer keyed on it). */
+  val NextDocId = "next_doc_id"
 }
 
 final case class StageMetric(stage: String, rows: Long, wallMs: Long, skipped: Boolean)
@@ -141,7 +160,13 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetric]
     if (resume) FormatGuard.check(spark, io, "IndexBuilder.build(resume)")
     if (!resume || !io.exists(Tables.Format)) FormatGuard.write(spark, io)
-    if (!resume) io.drop(Tables.Lineage)
+    if (!resume) {
+      io.drop(Tables.Lineage)
+      // a fresh build restarts docIds at 0 over a new corpus — stale
+      // tombstones or a stale id watermark from the warehouse's previous
+      // life would poison it
+      io.drop(Tables.Deletes); io.drop(Tables.DeletedTermDf); io.drop(Tables.NextDocId)
+    }
 
     runStage(Tables.PostingsRaw, resume, metrics) {
       def tokenized(slice: Dataset[(Long, Turn)]) = slice.mapPartitions { iter =>
@@ -252,9 +277,20 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     * their incremental weighted mean untouched (recomputing it would
     * drift the IEEE value), and the dictionary/ledger are unchanged.
     *
+    * Deletions: when the warehouse carries tombstones (`deleteDocs`), the
+    * rewrite also PURGES them — postings/blocks lose the tombstoned rows,
+    * the dictionary loses the tombstoned docs, and the tombstone tables
+    * are dropped (queries stop paying the anti-join/skip-set). The docId
+    * watermark is advanced FIRST (max-monotone, so a crashed/re-run
+    * compact can never lower it) so purged ids are never reused by a
+    * later incremental append. Query results are unchanged: the purge
+    * removes exactly the rows every query path was already filtering.
+    *
     * Single-writer maintenance op: run only with NO in-flight incremental
     * batch — crash repair is tag-based, and compacting an un-ledgered
     * partial append folds its rows where the tag sweep cannot remove them.
+    * A crash mid-compact is repaired by re-running compact (each step is
+    * an idempotent anti-join/rewrite; the watermark is monotone).
     */
   def compact(): Seq[StageMetric] = {
     FormatGuard.check(spark, io, "IndexBuilder.compact")
@@ -269,9 +305,25 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
         Tables.Lineage)
       metrics += StageMetric(s"compact:$stage", rows, wallMs, skipped = false)
     }
+    val hasDeletes = io.exists(Tables.Deletes)
+    def purged(df: DataFrame): DataFrame =
+      if (!hasDeletes) df
+      else df.join(broadcast(io.read(Tables.Deletes).select(col("docId"))),
+        Seq("docId"), "left_anti")
+    if (hasDeletes) {
+      // watermark BEFORE the dictionary rewrite (it is the only record of
+      // the purged ids' ceiling once they leave the dict); max-monotone
+      // against a previous marker so a re-run after the rewrite can't
+      // lower it back into the purged range
+      val maxId = io.read(Tables.DocDict).agg(max(col("docId")))
+        .as[Option[Long]].head().getOrElse(-1L)
+      val prior = io.readMarker(Tables.NextDocId)
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(0L)
+      io.writeMarker(Tables.NextDocId, math.max(prior, maxId + 1L).toString)
+    }
     timed(Tables.Postings) {
-      io.replace(io.read(Tables.Postings)
-        .select("term", "docId", "tf", "doc_len", "positions_vb")
+      io.replace(purged(io.read(Tables.Postings)
+        .select("term", "docId", "tf", "doc_len", "positions_vb"))
         .repartitionByRange(nShuffle, col("term"), col("docId"))
         .sortWithinPartitions("term", "docId"), Tables.Postings)
     }
@@ -280,8 +332,110 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
         .select("term", "docId", "tf", "doc_len", "positions_vb")
         .as[PostingRow]).toDF(), Tables.Blocks)
     }
+    if (hasDeletes) {
+      timed(Tables.DocDict) {
+        io.replace(purged(io.read(Tables.DocDict))
+          .repartitionByRange(nShuffle, col("docId"))
+          .sortWithinPartitions("docId"), Tables.DocDict)
+      }
+      // stats were made exact at delete time — nothing to recompute; the
+      // tombstones are fully folded in, so retire them
+      io.drop(Tables.Deletes); io.drop(Tables.DeletedTermDf)
+    }
     metrics.toSeq
   }
+
+  /** The dictionary minus any committed tombstones — the row set corpus
+    * stats must be computed over. */
+  private def survivingDict(): DataFrame = {
+    val dict = io.read(Tables.DocDict)
+    if (!io.exists(Tables.Deletes)) dict
+    else dict.join(broadcast(io.read(Tables.Deletes).select(col("docId"))),
+      Seq("docId"), "left_anti")
+  }
+
+  /** Delete documents from the index — the maintenance op between builds
+    * (the reference can only truncate whole collections,
+    * /root/reference/source/DataBase.cpp; per-document retraction is what
+    * a GDPR/takedown/quality-recall pipeline actually needs).
+    *
+    * Tombstone design (the Lucene-style two-phase delete, adapted so BM25
+    * stays EXACT rather than drifting until merge):
+    *  - `deleted_docs` gets the ids; every query path anti-joins/skips
+    *    them (postings, dictionary, dense fill, WAND decode);
+    *  - `deleted_df` gets per-term df deltas — ONE column-pruned pass over
+    *    postings with the id set broadcast (linear in index size, the
+    *    price of keeping the WAND path's block-metadata df exact; batch
+    *    deletes to amortize it — every other path derives df from the
+    *    already-filtered rows for free);
+    *  - the stats singleton is recomputed over the surviving dictionary
+    *    with the same aggregate the batch build uses, so post-delete
+    *    scores are bit-identical to a from-scratch build on the surviving
+    *    corpus (integer doc_len sums < 2^53 are exact in IEEE double, so
+    *    summation order cannot drift the mean);
+    *  - `compact()` later purges the tombstoned rows physically and
+    *    retires both tables.
+    *
+    * Idempotent per `batchId` via the same lineage-ledger + tagged-append
+    * contract as `buildIncremental`: a replay of a crashed batch removes
+    * its partial files and redoes it. Ids not in the index (or already
+    * tombstoned) are ignored, so retrying with a superset id list is safe.
+    */
+  def deleteDocs(ids: Dataset[Long], batchId: Long): Seq[StageMetric] = {
+    FormatGuard.check(spark, io, "IndexBuilder.deleteDocs")
+    require(io.exists(Tables.DocDict), "deleteDocs: warehouse has no index")
+    val ledgerStage = Tables.DeleteLedgerStage
+    val tag = s"del$batchId"
+    if (io.exists(Tables.Lineage) &&
+      io.read(Tables.Lineage)
+        .filter(col("stage") === ledgerStage && col("partition_id") === batchId.toInt)
+        .limit(1).count() > 0) return Seq.empty // batch already committed
+
+    // crash repair: drop un-ledgered partial appends of THIS batch (both
+    // tables, so ids and df deltas can never disagree after a replay)
+    val removedPartial =
+      Seq(Tables.Deletes, Tables.DeletedTermDf).map(io.deleteTagged(_, tag)).sum
+
+    val t0 = System.nanoTime()
+    val existing: Option[DataFrame] =
+      if (io.exists(Tables.Deletes)) Some(io.read(Tables.Deletes).select(col("docId")))
+      else None
+    val base = ids.toDF("docId").distinct()
+      .join(io.read(Tables.DocDict).select(col("docId")), Seq("docId"), "left_semi")
+    val newIds = existing.fold(base)(e => base.join(broadcast(e), Seq("docId"), "left_anti"))
+      .cache()
+    val nNew = newIds.count()
+    if (nNew > 0) {
+      // df deltas first, ids second: a crash between the two leaves the
+      // warehouse mis-scored either way until the batch is replayed (the
+      // documented single-writer contract) — but tag repair removes both
+      // sides together, so a replay always restores consistency
+      val delta = io.read(Tables.Postings).select(col("term"), col("docId"))
+        .join(broadcast(newIds), Seq("docId"))
+        .groupBy(col("term")).agg(count(lit(1)).as("delta"))
+      io.appendTagged(delta.repartitionByRange(1, col("term"))
+        .sortWithinPartitions("term"), Tables.DeletedTermDf, tag)
+      io.touchSuccess(Tables.DeletedTermDf)
+      io.appendTagged(newIds.repartitionByRange(1, col("docId"))
+        .sortWithinPartitions("docId"), Tables.Deletes, tag)
+      io.touchSuccess(Tables.Deletes)
+    }
+    if (nNew > 0 || removedPartial > 0 || !io.exists(Tables.Stats)) {
+      val recomputed = survivingDict()
+        .agg(count(lit(1)).as("total_docs"), avg(col("doc_len")).as("avg_doc_len"))
+      io.replace(recomputed.coalesce(1), Tables.Stats)
+    }
+    newIds.unpersist()
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    io.append(spark.createDataset(
+      Seq(LineageRow(ledgerStage, batchId.toInt, "done", nNew, wallMs))).toDF(),
+      Tables.Lineage)
+    Seq(StageMetric(s"$ledgerStage:$batchId", nNew, wallMs, skipped = false))
+  }
+
+  /** Convenience overload for driver-held id lists. */
+  def deleteDocs(ids: Seq[Long], batchId: Long): Seq[StageMetric] =
+    deleteDocs(spark.createDataset(ids), batchId)
 
   /** Incremental indexing — the scalable re-expression of the reference's
     * `processed`-flag batches (/root/reference/source/InvertedIndex.cpp:29-51):
@@ -335,15 +489,20 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
       Seq(Tables.DocDict, Tables.Postings, Tables.Blocks)
         .map(io.deleteTagged(_, tag)).sum
     if (removedPartial > 0 || !io.exists(Tables.Stats)) {
-      val repaired = io.read(Tables.DocDict)
+      val repaired = survivingDict()
         .agg(count(lit(1)).as("total_docs"), avg(col("doc_len")).as("avg_doc_len"))
       io.replace(repaired.coalesce(1), Tables.Stats)
     }
 
     val t0 = System.nanoTime()
     val (n1, m1) = io.read(Tables.Stats).as[(Long, Double)].head()
-    val nextId = io.read(Tables.DocDict).agg(max(col("docId")))
-      .as[Option[Long]].head().getOrElse(-1L) + 1L
+    // the watermark (written by a post-delete compact) floors the next id:
+    // tombstoned docs purged out of the dict must never have their ids
+    // reused by a new document
+    val watermark = io.readMarker(Tables.NextDocId)
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(0L)
+    val nextId = math.max(watermark, io.read(Tables.DocDict).agg(max(col("docId")))
+      .as[Option[Long]].head().getOrElse(-1L) + 1L)
 
     val raw = withDocIds(newTurns, assumeSorted = false).mapPartitions { iter =>
       iter.flatMap { case (rank, turn) =>

@@ -21,13 +21,21 @@ import graft.model.{IndexBlock, IndexStats}
   */
 object Wand {
 
-  /** Per-partition top-k over one term's blocks. Returns ≤ k candidates. */
+  /** Per-partition top-k over one term's blocks. Returns ≤ k candidates.
+    *
+    * `deleted` skips tombstoned docs DURING decode (post-filtering the
+    * candidates would be unsound: a deleted doc inside the per-partition
+    * top-k would mask a live doc that never entered it). It must be exact
+    * — a Bloom filter's false positive would drop a live doc. Pruning
+    * stays exact under deletions: a block's UB still dominates every
+    * SURVIVING member score (removing rows can't raise the max). */
   def topKForPartition(
       blocks: Iterator[IndexBlock],
       idf: Double,
       k: Int,
       params: GraftParams,
-      stats: IndexStats): Iterator[(Long, Double)] = {
+      stats: IndexStats,
+      deleted: Long => Boolean = _ => false): Iterator[(Long, Double)] = {
     val k1 = params.k1; val b = params.b; val avgdl = stats.avg_doc_len
     def tfPart(tf: Double, dl: Double): Double = {
       val docNorm = (1 - b) + b * (dl / avgdl)
@@ -49,12 +57,14 @@ object Wand {
       } else {
         // scores-only decode: the trailing positions section is skipped
         VarByte.decodeBlockScores(blk.block).foreach { p =>
-          val score = idf * tfPart(p.tf.toDouble, p.docLen.toDouble)
-          if (heap.size < k) heap.enqueue((p.docId, score))
-          else {
-            val worst = heap.head
-            if (score > worst._2 || (score == worst._2 && p.docId < worst._1)) {
-              heap.dequeue(); heap.enqueue((p.docId, score))
+          if (!deleted(p.docId)) {
+            val score = idf * tfPart(p.tf.toDouble, p.docLen.toDouble)
+            if (heap.size < k) heap.enqueue((p.docId, score))
+            else {
+              val worst = heap.head
+              if (score > worst._2 || (score == worst._2 && p.docId < worst._1)) {
+                heap.dequeue(); heap.enqueue((p.docId, score))
+              }
             }
           }
         }
@@ -78,9 +88,10 @@ object Wand {
       idfByTerm: collection.Map[String, Double],
       k: Int,
       params: GraftParams,
-      stats: IndexStats): Iterator[(String, Long, Double)] =
+      stats: IndexStats,
+      deleted: Long => Boolean = _ => false): Iterator[(String, Long, Double)] =
     blocks.toArray.groupBy(_.term).iterator.flatMap { case (term, bs) =>
-      topKForPartition(bs.iterator, idfByTerm(term), k, params, stats)
+      topKForPartition(bs.iterator, idfByTerm(term), k, params, stats, deleted)
         .map { case (d, s) => (term, d, s) }
     }
 }

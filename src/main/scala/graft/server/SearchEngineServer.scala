@@ -62,6 +62,8 @@ final class SearchEngineServer(
     else v
   private def jsonStringArray(v: String): Seq[String] =
     "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(v).map(_.group(1)).toSeq
+  private def jsonLongArray(v: String): Seq[Long] =
+    "-?\\d+".r.findAllIn(v).map(_.toLong).toSeq
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -135,6 +137,19 @@ final class SearchEngineServer(
     finally spark.sparkContext.clearJobGroup()
   }
 
+  /** One past the last committed delete batch (0 on a never-deleted
+    * warehouse) — keeps unkeyed /deleteDocuments calls from replaying a
+    * committed batchId into a silent no-op. */
+  private def nextDeleteBatchId(): Long = {
+    import spark.implicits._
+    if (!io.exists(Tables.Lineage)) 0L
+    else io.read(Tables.Lineage)
+      .filter(org.apache.spark.sql.functions.col("stage") === Tables.DeleteLedgerStage)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("partition_id")))
+      .as[Option[Int]].head().map(_.toLong + 1L).getOrElse(0L)
+  }
+
   private def searchJson(query: String, accuracy: Double): String = {
     val hits = inputPath match {
       case Some(p) => engine.search(query, spark.read.parquet(p), accuracy)
@@ -203,6 +218,7 @@ final class SearchEngineServer(
       |POST /indexDocuments {"clear":0|1} | POST /crawlAndIndexDocument {...}
       |PUT /setRankerParameters {"BM25_K1":..,"BM25_B":..,"PHRASE_BOOST":..,"EXACT_MATCH_WEIGHT":..}
       |DELETE /clearCrawlHistory | PUT /indexDocuments_terminate {"clearIndexHistory":0|1}
+      |POST /deleteDocuments {"docIds":[..],"compact":0|1,"batchId":N?}  (per-doc retraction)
       |""".stripMargin
 
   private var server: HttpServer = _
@@ -313,6 +329,32 @@ final class SearchEngineServer(
           engine = new SparkSearchEngine(spark, io, params)
           (200, "Successfully crawled the pages and created Inverted Index")
         case _ => (400, "Invalid JSON data")
+      }
+    })
+
+    // beyond parity: per-document retraction (the reference can only
+    // truncate whole collections) — IndexBuilder.deleteDocs tombstones;
+    // {"compact":1} purges them physically in the same call. batchId is
+    // the idempotency key (a replayed id is a committed no-op); omitted,
+    // the server continues after the last committed delete batch.
+    server.createContext("/deleteDocuments", handler("POST") { ex =>
+      val body = readBody(ex)
+      jsonField(body, "docIds") match {
+        case Some(arr) =>
+          val ids = jsonLongArray(arr)
+          if (ids.isEmpty) (400, "docIds must be a non-empty array of ids")
+          else {
+            val b = new IndexBuilder(spark, io)
+            val batchId = jsonField(body, "batchId").map(v => unquote(v).toLong)
+              .getOrElse(nextDeleteBatchId())
+            b.deleteDocs(ids, batchId)
+            val compacted = jsonField(body, "compact").exists(v => unquote(v).toInt != 0)
+            if (compacted) b.compact()
+            engine = new SparkSearchEngine(spark, io, params)
+            (200, s"Successfully deleted documents (batch $batchId" +
+              (if (compacted) ", compacted)" else ")"))
+          }
+        case None => (400, "Invalid JSON data")
       }
     })
 

@@ -105,6 +105,25 @@ class ServerSpec extends AnyFunSuite {
     assert(post("/crawl", """{"bad": 1}""").statusCode() == 400)
   }
 
+  test("deleteDocuments tombstones per-doc; compact purges without changing results") {
+    post("/indexDocuments", """{"clear": 1}""")
+    val r1 = get("/search?query=whale&accuracy=0.0")
+    assert(r1.statusCode() == 200)
+    val del = post("/deleteDocuments", """{"docIds": [0, 2, 4, 6, 8, 10, 12]}""")
+    assert(del.statusCode() == 200 && del.body().contains("Successfully deleted"), del.body())
+    val r2 = get("/search?query=whale&accuracy=0.0")
+    assert(r2.statusCode() == 200, r2.body())
+    // deletions shrink the corpus → stats/df change → every score changes
+    assert(r2.body() != r1.body())
+    // physical purge must not change any result the tombstones produced
+    val cmp = post("/deleteDocuments", """{"docIds": [0], "compact": 1}""")
+    assert(cmp.statusCode() == 200 && cmp.body().contains("compacted"), cmp.body())
+    val r3 = get("/search?query=whale&accuracy=0.0")
+    assert(r3.statusCode() == 200 && r3.body() == r2.body())
+    assert(post("/deleteDocuments", """{"bad": 1}""").statusCode() == 400)
+    assert(post("/deleteDocuments", """{"docIds": []}""").statusCode() == 400)
+  }
+
   test("clearCrawlHistory drops the index; search then fails cleanly") {
     assert(delete("/clearCrawlHistory").statusCode() == 200)
     val r = get("/search?query=whale&accuracy=0.0")
