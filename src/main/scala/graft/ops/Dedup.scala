@@ -655,6 +655,20 @@ object Dedup {
       maxIter: Int = 30): DataFrame =
     dedupClustersImpl(spark, pairs, nodes, maxIter)._1
 
+  /** Unpersist the RDD a `Dataset.localCheckpoint` materialized.
+    * `Dataset.unpersist` only clears CacheManager entries, but
+    * localCheckpoint persists its RDD directly — without this, every
+    * checkpoint lives until a GC lets the ContextCleaner collect it
+    * (unbounded growth between GCs in a long-lived session; OpsSpec's
+    * no-growth test pins the fix). The checkpointed frame's analyzed plan
+    * IS a LogicalRDD, so the match is exact; any other shape falls back
+    * to the CacheManager path. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => df.unpersist(false); ()
+    }
+
   private[ops] def dedupClustersImpl(
       spark: SparkSession,
       pairs: DataFrame,
@@ -697,11 +711,11 @@ object Dedup {
         .toDF("id", "label")
         .localCheckpoint(true)
       changed = acc.value
-      labels.unpersist(false)
+      releaseCheckpoint(labels)
       labels = next
       it += 1
     }
-    sym.unpersist(false)
+    releaseCheckpoint(sym)
     require(changed == 0, s"dedupClusters did not converge in $maxIter iterations")
     // NOTE: the returned frame is backed by the final localCheckpoint —
     // long-lived sessions should consume it via dedupClustersManaged (which
@@ -735,7 +749,7 @@ object Dedup {
       nodes: DataFrame,
       maxIter: Int = 30)(use: DataFrame => T): T = {
     val (out, ckpt) = dedupClustersImpl(spark, pairs, nodes, maxIter)
-    try use(out) finally ckpt.unpersist(false)
+    try use(out) finally releaseCheckpoint(ckpt)
   }
 
   /** Embedding-cosine near-dup pairs over an LSH-style bucket (random

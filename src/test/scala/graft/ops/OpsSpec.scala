@@ -508,7 +508,19 @@ class OpsSpec extends AnyFunSuite {
       Dedup.minHashDedupBatchManaged(spark, idx, batch)(_.count())
       Pipeline.trainingCorpusManaged(spark, docs)(_.count())
     }
-    assert(persisted <= base, s"managed caches grew: $base -> $persisted")
+    // getPersistentRDDs is JVM-global and sbt runs suites in parallel, so
+    // a query mid-flight in another suite counts its transient caches
+    // here. Those drain when that query finishes; a genuine managed-
+    // variant leak never drains — poll before declaring one.
+    var now = persisted
+    val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+    while (now > base && System.nanoTime < deadline) {
+      Thread.sleep(2000); now = persisted
+    }
+    val held = spark.sparkContext.getPersistentRDDs.values
+      .map(r => s"[${r.id}] ${r.toString.replace('\n', ' ').take(120)}").mkString("; ")
+    assert(now <= base,
+      s"managed caches grew: $base -> $now (stable after drain wait); held: $held")
     // managed ≡ unmanaged results
     val managed = Pipeline.trainingCorpusManaged(spark, docs)(
       _.as[(Long, Long, Double, Long, Long, Int, String, Int)].collect().toSeq)
