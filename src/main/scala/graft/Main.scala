@@ -30,7 +30,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Main <gen|build|ingest|search|searchmany|searchauto|compact|clear> [--flags]")
+      System.err.println("usage: graft.Main <gen|build|ingest|search|searchmany|searchauto|delete|compact|clear> [--flags]")
       sys.exit(2)
     }
     val builder = SparkSession.builder()
@@ -143,9 +143,29 @@ object Main {
           graft.ops.Similarity.compactIndex(spark, p); println(s"compacted $p")
         }
 
+      case "delete" =>
+        // tombstone documents out of the index (IndexBuilder.deleteDocs):
+        // --ids 1,2,3 or --ids-parquet <path with a docId column>; --batch
+        // is the idempotency key (default: one past the last committed
+        // delete batch); --compact purges the tombstones in the same run
+        val b = new IndexBuilder(spark, io)
+        val ids = (arg(args, "ids"), arg(args, "ids-parquet")) match {
+          case (Some(csv), _) =>
+            spark.createDataset(csv.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+          case (_, Some(p)) => spark.read.parquet(p).select("docId").as[Long]
+          case _ => sys.error("delete: --ids or --ids-parquet required")
+        }
+        val batchId = arg(args, "batch").map(_.toLong).getOrElse(b.nextDeleteBatchId())
+        val m = b.deleteDocs(ids, batchId)
+        if (m.isEmpty) println(s"batch $batchId already committed (no-op)")
+        else m.foreach(x => println(f"stage=${x.stage} tombstoned=${x.rows} wall_ms=${x.wallMs}"))
+        if (args.contains("--compact")) b.compact().foreach(x => println(
+          f"stage=${x.stage} rows=${x.rows} wall_ms=${x.wallMs}"))
+
       case "clear" =>
         Seq(Tables.PostingsRaw, Tables.DocDict, Tables.Stats, Tables.TermStats,
-          Tables.Postings, Tables.Blocks, Tables.Lineage).foreach(io.drop)
+          Tables.Postings, Tables.Blocks, Tables.Lineage,
+          Tables.Deletes, Tables.DeletedTermDf, Tables.NextDocId).foreach(io.drop)
         println("warehouse cleared")
 
       case other =>

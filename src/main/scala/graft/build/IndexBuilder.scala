@@ -437,6 +437,17 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
   def deleteDocs(ids: Seq[Long], batchId: Long): Seq[StageMetric] =
     deleteDocs(spark.createDataset(ids), batchId)
 
+  /** One past the last committed delete batch (0 on a never-deleted
+    * warehouse) — the default idempotency key for callers that don't
+    * number their own batches (CLI, HTTP route). Single-writer like the
+    * op itself: two concurrent unkeyed deleters could mint the same id. */
+  def nextDeleteBatchId(): Long =
+    if (!io.exists(Tables.Lineage)) 0L
+    else io.read(Tables.Lineage)
+      .filter(col("stage") === Tables.DeleteLedgerStage)
+      .agg(max(col("partition_id"))).as[Option[Int]].head()
+      .map(_.toLong + 1L).getOrElse(0L)
+
   /** Incremental indexing — the scalable re-expression of the reference's
     * `processed`-flag batches (/root/reference/source/InvertedIndex.cpp:29-51):
     * new turns get docIds continuing after the current dictionary (insertion

@@ -137,19 +137,6 @@ final class SearchEngineServer(
     finally spark.sparkContext.clearJobGroup()
   }
 
-  /** One past the last committed delete batch (0 on a never-deleted
-    * warehouse) — keeps unkeyed /deleteDocuments calls from replaying a
-    * committed batchId into a silent no-op. */
-  private def nextDeleteBatchId(): Long = {
-    import spark.implicits._
-    if (!io.exists(Tables.Lineage)) 0L
-    else io.read(Tables.Lineage)
-      .filter(org.apache.spark.sql.functions.col("stage") === Tables.DeleteLedgerStage)
-      .agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col("partition_id")))
-      .as[Option[Int]].head().map(_.toLong + 1L).getOrElse(0L)
-  }
-
   private def searchJson(query: String, accuracy: Double): String = {
     val hits = inputPath match {
       case Some(p) => engine.search(query, spark.read.parquet(p), accuracy)
@@ -346,7 +333,7 @@ final class SearchEngineServer(
           else {
             val b = new IndexBuilder(spark, io)
             val batchId = jsonField(body, "batchId").map(v => unquote(v).toLong)
-              .getOrElse(nextDeleteBatchId())
+              .getOrElse(b.nextDeleteBatchId())
             b.deleteDocs(ids, batchId)
             val compacted = jsonField(body, "compact").exists(v => unquote(v).toInt != 0)
             if (compacted) b.compact()
