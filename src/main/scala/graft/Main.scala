@@ -144,23 +144,39 @@ object Main {
         }
 
       case "delete" =>
-        // tombstone documents out of the index (IndexBuilder.deleteDocs):
-        // --ids 1,2,3 or --ids-parquet <path with a docId column>; --batch
-        // is the idempotency key (default: one past the last committed
-        // delete batch); --compact purges the tombstones in the same run
-        val b = new IndexBuilder(spark, io)
+        // tombstone documents/vectors out of an index: --warehouse (text
+        // index, IndexBuilder.deleteDocs — --batch is the idempotency key,
+        // default one past the last committed delete batch) and/or
+        // --minhash-index / --ann-index (Dedup/Similarity tombstones);
+        // --ids 1,2,3 or --ids-parquet <path with a docId column>;
+        // --compact purges the tombstones in the same run
         val ids = (arg(args, "ids"), arg(args, "ids-parquet")) match {
           case (Some(csv), _) =>
             spark.createDataset(csv.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
           case (_, Some(p)) => spark.read.parquet(p).select("docId").as[Long]
           case _ => sys.error("delete: --ids or --ids-parquet required")
         }
-        val batchId = arg(args, "batch").map(_.toLong).getOrElse(b.nextDeleteBatchId())
-        val m = b.deleteDocs(ids, batchId)
-        if (m.isEmpty) println(s"batch $batchId already committed (no-op)")
-        else m.foreach(x => println(f"stage=${x.stage} tombstoned=${x.rows} wall_ms=${x.wallMs}"))
-        if (args.contains("--compact")) b.compact().foreach(x => println(
-          f"stage=${x.stage} rows=${x.rows} wall_ms=${x.wallMs}"))
+        require(Seq("warehouse", "minhash-index", "ann-index").exists(arg(args, _).isDefined),
+          "delete: --warehouse, --minhash-index, or --ann-index required")
+        arg(args, "warehouse").foreach { _ =>
+          val b = new IndexBuilder(spark, io)
+          val batchId = arg(args, "batch").map(_.toLong).getOrElse(b.nextDeleteBatchId())
+          val m = b.deleteDocs(ids, batchId)
+          if (m.isEmpty) println(s"batch $batchId already committed (no-op)")
+          else m.foreach(x => println(f"stage=${x.stage} tombstoned=${x.rows} wall_ms=${x.wallMs}"))
+          if (args.contains("--compact")) b.compact().foreach(x => println(
+            f"stage=${x.stage} rows=${x.rows} wall_ms=${x.wallMs}"))
+        }
+        arg(args, "minhash-index").foreach { p =>
+          graft.ops.Dedup.deleteFromMinHashIndex(spark, p, ids)
+          if (args.contains("--compact")) graft.ops.Dedup.compactMinHashIndex(spark, p)
+          println(s"tombstoned in $p")
+        }
+        arg(args, "ann-index").foreach { p =>
+          graft.ops.Similarity.deleteFromIndex(spark, p, ids)
+          if (args.contains("--compact")) graft.ops.Similarity.compactIndex(spark, p)
+          println(s"tombstoned in $p")
+        }
 
       case "clear" =>
         Seq(Tables.PostingsRaw, Tables.DocDict, Tables.Stats, Tables.TermStats,

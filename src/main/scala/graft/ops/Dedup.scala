@@ -320,22 +320,47 @@ object Dedup {
     * buckets range-sorted on (band, bucket), sigs range-sorted on doc_id.
     * Same rows → pairs and batch probes are bit-identical (spec-pinned).
     * meta/version/stream_ledger are untouched; single-writer maintenance
-    * op — run between batches, not under a live appender. */
+    * op — run between batches, not under a live appender. When the index
+    * carries tombstones (`deleteFromMinHashIndex`), the rewrite purges
+    * them and retires the `deleted` table. */
   def compactMinHashIndex(spark: SparkSession, path: String): Unit = {
     Similarity.checkVersion(spark, path)
     val n = Similarity.shuffleN(spark)
     Similarity.replaceDir(spark, s"$path/buckets") { tmp =>
-      spark.read.parquet(s"$path/buckets")
+      Similarity.readLive(spark, path, "buckets", "doc_id")
         .repartitionByRange(n, col("band"), col("bucket"))
         .sortWithinPartitions("band", "bucket")
         .write.mode("overwrite").parquet(tmp)
     }
     Similarity.replaceDir(spark, s"$path/sigs") { tmp =>
-      spark.read.parquet(s"$path/sigs")
+      Similarity.readLive(spark, path, "sigs", "doc_id")
         .repartitionByRange(n, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(tmp)
     }
+    val del = new org.apache.hadoop.fs.Path(s"$path/deleted")
+    del.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(del, true)
+  }
+
+  /** Tombstone documents out of the persisted MinHash index — the dedup
+    * side of the retraction story (`IndexBuilder.deleteDocs` for the text
+    * index, `Similarity.deleteFromIndex` for the ANN indexes): deleted
+    * docs stop appearing in any pair/probe immediately (every sigs/
+    * buckets read goes through the `readLive` anti-join), and
+    * `compactMinHashIndex` purges them physically. Exactness is free
+    * here: signatures are per-doc, so a tombstoned index behaves
+    * identically to one built over the surviving corpus with the same
+    * parameters (OpsSpec pins it). Append-only, replay-safe, ids never
+    * reused — same contracts as the other two. */
+  def deleteFromMinHashIndex(spark: SparkSession, path: String, ids: Dataset[Long]): Unit = {
+    Similarity.checkVersion(spark, path)
+    ids.toDF("id").distinct().coalesce(1)
+      .write.mode("append").parquet(s"$path/deleted")
+  }
+
+  def deleteFromMinHashIndex(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromMinHashIndex(spark, path, spark.createDataset(ids))
   }
 
   /** Full-corpus near-dup pairs off the persisted index — identical output
@@ -348,8 +373,8 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame = {
     Similarity.checkVersion(spark, indexPath)
     val cands = pairsFromBandRows(
-      spark, spark.read.parquet(s"$indexPath/buckets"), maxBucket)
-    estimatePairs(spark, cands, spark.read.parquet(s"$indexPath/sigs"), threshold)
+      spark, Similarity.readLive(spark, indexPath, "buckets", "doc_id"), maxBucket)
+    estimatePairs(spark, cands, Similarity.readLive(spark, indexPath, "sigs", "doc_id"), threshold)
   }
 
   /** Dedup a NEW batch against the indexed corpus (and within itself) —
@@ -412,7 +437,7 @@ object Dedup {
     // (disjoint ids, the documented contract) the anti-join removes
     // nothing, so results are bit-identical.
     val newIds = newSigs.select($"doc_id")
-    val corpusBands = spark.read.parquet(s"$indexPath/buckets")
+    val corpusBands = Similarity.readLive(spark, indexPath, "buckets", "doc_id")
       .filter(mightContain(keyCol))
       .join(newIds, Seq("doc_id"), "left_anti")
     val members = newBands
@@ -434,7 +459,7 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     // same replay rule for the estimate: the index copy of a replayed
     // batch doc would duplicate its signature row and multiply pair rows
-    val allSigs = spark.read.parquet(s"$indexPath/sigs")
+    val allSigs = Similarity.readLive(spark, indexPath, "sigs", "doc_id")
       .join(newIds, Seq("doc_id"), "left_anti")
       .union(newSigs.toDF("doc_id", "sig"))
     val (est, estCaches) = estimatePairsImpl(spark, cands, allSigs, threshold)
@@ -791,7 +816,7 @@ object Dedup {
       threshold: Double = 0.95,
       maxBucket: Int = 100000): DataFrame = {
     Similarity.checkVersion(spark, indexPath)
-    val assignments = spark.read.parquet(s"$indexPath/assignments")
+    val assignments = Similarity.readLive(spark, indexPath, "assignments", "vec_id")
     pairsFromBuckets(spark, assignments.select("vec_id", "bucket"),
       assignments.select("vec_id", "embedding"), threshold, maxBucket)
   }

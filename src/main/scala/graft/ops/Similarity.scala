@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -25,8 +25,10 @@ object Similarity {
   /** On-disk index layout version — bump on any change (cache paths embed
     * it, and every index carries it as a `version` marker table: probes
     * REFUSE a mismatched or unversioned index instead of misdecoding —
-    * the warehouse FormatGuard contract extended to the ANN indexes). */
-  val IndexVersion = 2
+    * the warehouse FormatGuard contract extended to the ANN indexes).
+    * v3: optional `deleted` tombstone table every probe must anti-join —
+    * a deletes-unaware reader would silently resurrect deleted vectors. */
+  val IndexVersion = 3
 
   private[ops] def writeVersion(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
@@ -68,7 +70,9 @@ object Similarity {
     * parquet min/max pruning degrades. This rewrites the data tables back
     * to build-shaped layout — same rows, same schema, same partition dirs,
     * so probes are bit-identical (spec-pinned) — and leaves
-    * centroids/codebook/meta/version untouched. */
+    * centroids/codebook/meta/version untouched. When the index carries
+    * tombstones (`deleteFromIndex`), the rewrite also purges them and
+    * retires the `deleted` table — probes stop paying the anti-join. */
   def compactIndex(spark: SparkSession, path: String): Unit = {
     checkVersion(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -83,7 +87,7 @@ object Similarity {
       val partCol = if (cols.contains("part")) Some("part")
         else if (cols.contains("cell")) Some("cell") else None
       replaceDir(spark, dir) { tmp =>
-        val df = spark.read.parquet(dir)
+        val df = readLive(spark, path, t, "vec_id")
         partCol match {
           case Some(pc) =>
             df.repartitionByRange(n, col(pc), col("vec_id"))
@@ -96,6 +100,49 @@ object Similarity {
         }
       }
     }
+    // every data table above was rewritten without the tombstoned rows —
+    // they are fully folded in, so retire the table
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/deleted"), true)
+  }
+
+  /** A data table of the index minus its tombstoned ids (`deleteFromIndex`
+    * / `Dedup.deleteFromMinHashIndex`) — the ONLY way probe/pair paths may
+    * read `assignments`/`codes`/`sigs`/`buckets`, so no path can resurrect
+    * a deleted row. The common never-deleted case costs one file stat and
+    * returns the identical plan; partition-pruning filters applied by the
+    * caller still push down past the (broadcast) anti-join. */
+  private[ops] def readLive(
+      spark: SparkSession, indexPath: String, table: String,
+      idCol: String): DataFrame = {
+    val df = spark.read.parquet(s"$indexPath/$table")
+    val del = new org.apache.hadoop.fs.Path(s"$indexPath/deleted")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(del)) df
+    else df.join(
+      broadcast(spark.read.parquet(del.toString).select(col("id").as(idCol))),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Tombstone vectors out of a persisted ANN index (LSH / IVF / PQ /
+    * IVF-PQ alike — the delete side of the GDPR/takedown story the text
+    * index's `IndexBuilder.deleteDocs` starts): every probe stops
+    * returning them immediately via `readLive`'s anti-join, and
+    * `compactIndex` purges them physically. Centroids/codebooks are NOT
+    * retrained — the surviving vectors' quantization is unchanged, so a
+    * post-delete probe equals probing an index whose rows were filtered
+    * at build time against the same codebook (OpsSpec pins it). Append-
+    * only and replay-safe (duplicate tombstones are harmless to an
+    * anti-join); deleted ids must never be reused, the same contract the
+    * text index's `next_doc_id` watermark enforces for docIds. */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: Dataset[Long]): Unit = {
+    checkVersion(spark, path)
+    ids.toDF("id").distinct().coalesce(1)
+      .write.mode("append").parquet(s"$path/deleted")
+  }
+
+  def deleteFromIndex(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIndex(spark, path, spark.createDataset(ids))
   }
 
   /** Refuse to probe an index this code cannot decode. */
@@ -261,7 +308,7 @@ object Similarity {
     val shift = partShift(planes)
     val parts = probes.map(_ >>> shift).distinct
     val qd = typedLit(queryVec.map(_.toDouble))
-    spark.read.parquet(s"$indexPath/assignments")
+    readLive(spark, indexPath, "assignments", "vec_id")
       .filter(col("part").isin(parts: _*) && col("bucket").isin(probes: _*)
         && col("vec_id") =!= queryId)
       .select(col("vec_id"), cosineCol(col("embedding"), qd).as("cosine"))
@@ -308,7 +355,7 @@ object Similarity {
       .toDF("query_id", "qvec")
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    spark.read.parquet(s"$indexPath/assignments")
+    readLive(spark, indexPath, "assignments", "vec_id")
       .filter(col("part").isin(parts: _*) && col("bucket").isin(allBuckets: _*))
       .join(broadcast(pp), Seq("bucket"))
       .join(broadcast(qVecs), Seq("query_id"))
@@ -694,7 +741,7 @@ object Similarity {
     val approx = (0 until m).foldLeft(lit(0.0): Column) { (acc, j) =>
       acc + element_at(lutCol, (col("codes").getItem(j) + lit(j * nCodes + 1)).cast("int"))
     }
-    val ids = spark.read.parquet(s"$indexPath/codes")
+    val ids = readLive(spark, indexPath, "codes", "vec_id")
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), approx.as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc)
@@ -742,7 +789,7 @@ object Similarity {
     val bLuts = spark.sparkContext.broadcast(luts)
     val sl = shortlist
     val nc = nCodes
-    val cands = spark.read.parquet(s"$indexPath/codes")
+    val cands = readLive(spark, indexPath, "codes", "vec_id")
       .select("vec_id", "codes").as[(Long, Seq[Int])]
       .mapPartitions { it =>
         val qs = bLuts.value
@@ -861,7 +908,7 @@ object Similarity {
     val approx = (0 until m).foldLeft(lit(0.0): Column) { (acc, j) =>
       acc + element_at(lutCol, (col("codes").getItem(j) + lit(j * nCodes + 1)).cast("int"))
     }
-    val ids = spark.read.parquet(s"$indexPath/codes")
+    val ids = readLive(spark, indexPath, "codes", "vec_id")
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), approx.as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc)
@@ -907,7 +954,7 @@ object Similarity {
       .toDF("query_id", "qvec")
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    spark.read.parquet(s"$indexPath/assignments")
+    readLive(spark, indexPath, "assignments", "vec_id")
       .filter(col("cell").isin(allCells: _*))
       .join(broadcast(pp), Seq("cell"))
       .join(broadcast(qVecs), Seq("query_id"))
@@ -937,7 +984,7 @@ object Similarity {
       .sortBy { case (cell, c) => (-c, cell) }
       .take(nProbe).map(_._1).toSeq
     val qd = typedLit(queryVec.map(_.toDouble))
-    spark.read.parquet(s"$indexPath/assignments")
+    readLive(spark, indexPath, "assignments", "vec_id")
       .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), cosineCol(col("embedding"), qd).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)

@@ -469,6 +469,96 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, est) => a == 0 && b == 1000 && est == 1.0 })
   }
 
+  test("minhash index deletes: tombstoned ≡ built-over-survivors; compact purges") {
+    import spark.implicits._
+    val docs = docsWithDups
+    // doc 0 pairs with planted 1000, doc 2 with near-dup 1002 — deleting
+    // them must retract those pairs exactly
+    val delIds = Seq(0L, 2L)
+    val idxDel = java.nio.file.Files.createTempDirectory("mh_del").toString
+    Dedup.buildMinHashIndex(spark, docs, idxDel)
+    Dedup.deleteFromMinHashIndex(spark, idxDel, delIds)
+    val idxSurv = java.nio.file.Files.createTempDirectory("mh_surv").toString
+    Dedup.buildMinHashIndex(spark, docs.filter(!$"doc_id".isin(delIds: _*)), idxSurv)
+    def pairs(p: String) = Dedup.minHashLshIndexed(spark, p, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = pairs(idxSurv)
+    assert(pairs(idxDel) == want)
+    assert(want.exists { case (a, b, _) => a == 1L && b == 1001L })
+    assert(!want.exists { case (a, b, _) => delIds.contains(a) || delIds.contains(b) })
+    // the batch probe applies the tombstones to bands AND the estimate
+    val batch = docs.filter($"doc_id" >= 1000)
+    def probe(p: String) = Dedup.minHashDedupBatch(spark, p, batch, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(probe(idxDel) == probe(idxSurv))
+    // physical purge: identical results, tombstones retired, rows gone
+    Dedup.compactMinHashIndex(spark, idxDel)
+    assert(!new java.io.File(s"$idxDel/deleted").exists())
+    assert(spark.read.parquet(s"$idxDel/sigs")
+      .filter($"doc_id".isin(delIds: _*)).count() == 0)
+    assert(pairs(idxDel) == want)
+  }
+
+  test("ANN index deletes: tombstoned ≡ built-over-survivors (LSH/IVF/PQ/IVF-PQ); compact purges") {
+    import spark.implicits._
+    val emb = spark.createDataset(clusteredVecs).toDF("vec_id", "embedding")
+    // keep the codebook-training rows (the 16 lowest vec_ids) so the
+    // survivors rebuild trains the IDENTICAL centroids/codebooks — the
+    // contract is filter-then-topk under the same quantization
+    val delIds = (20L to 40L).toSeq
+    val surv = emb.filter(!$"vec_id".isin(delIds: _*))
+    val q = clusteredVecs.find(_._1 == 0L).get._2
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+    val (lshDel, lshSurv) = (tmp("lsh_del"), tmp("lsh_surv"))
+    Similarity.buildLshIndex(spark, emb, lshDel, planesOpt = Some(4))
+    Similarity.deleteFromIndex(spark, lshDel, delIds)
+    Similarity.buildLshIndex(spark, surv, lshSurv, planesOpt = Some(4))
+    def lshTop(p: String) = Similarity.lshTopKIndexed(spark, p, q, 0L, 15, probeHamming = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(lshTop(lshDel) == lshTop(lshSurv))
+    assert(!lshTop(lshDel).exists { case (id, _) => delIds.contains(id) })
+
+    val (ivfDel, ivfSurv) = (tmp("ivf_del"), tmp("ivf_surv"))
+    Similarity.buildIvfIndex(spark, emb, ivfDel, nCells = 16)
+    Similarity.deleteFromIndex(spark, ivfDel, delIds)
+    Similarity.buildIvfIndex(spark, surv, ivfSurv, nCells = 16)
+    def ivfTop(p: String) = Similarity.ivfTopKIndexed(spark, p, q, 0L, 15, nProbe = 6)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivfTop(ivfDel) == ivfTop(ivfSurv))
+
+    val (pqDel, pqSurv) = (tmp("pq_del"), tmp("pq_surv"))
+    Similarity.buildPqIndex(spark, emb, pqDel, m = 8, nCodes = 16)
+    Similarity.deleteFromIndex(spark, pqDel, delIds)
+    Similarity.buildPqIndex(spark, surv, pqSurv, m = 8, nCodes = 16)
+    def pqTop(p: String) = Similarity.pqTopKIndexed(spark, p, emb, q, 0L, 15, shortlist = 60)
+      .as[(Long, Double)].collect().toSeq
+    assert(pqTop(pqDel) == pqTop(pqSurv))
+
+    val (ipDel, ipSurv) = (tmp("ivfpq_del"), tmp("ivfpq_surv"))
+    Similarity.buildIvfPqIndex(spark, emb, ipDel, nCells = 16, m = 8, nCodes = 16)
+    Similarity.deleteFromIndex(spark, ipDel, delIds)
+    Similarity.buildIvfPqIndex(spark, surv, ipSurv, nCells = 16, m = 8, nCodes = 16)
+    def ipTop(p: String) = Similarity.ivfPqTopKIndexed(spark, p, emb, q, 0L, 15,
+      nProbe = 6, shortlist = 60).as[(Long, Double)].collect().toSeq
+    assert(ipTop(ipDel) == ipTop(ipSurv))
+
+    // physical purge on both layouts (IVF-PQ: codes; IVF: assignments):
+    // probes identical, tombstones retired, rows gone
+    val before = ipTop(ipDel)
+    Similarity.compactIndex(spark, ipDel)
+    assert(!new java.io.File(s"$ipDel/deleted").exists())
+    assert(spark.read.parquet(s"$ipDel/codes")
+      .filter($"vec_id".isin(delIds: _*)).count() == 0)
+    assert(ipTop(ipDel) == before)
+    val ivfBefore = ivfTop(ivfDel)
+    Similarity.compactIndex(spark, ivfDel)
+    assert(!new java.io.File(s"$ivfDel/deleted").exists())
+    assert(spark.read.parquet(s"$ivfDel/assignments")
+      .filter($"vec_id".isin(delIds: _*)).count() == 0)
+    assert(ivfTop(ivfDel) == ivfBefore)
+  }
+
   test("minhash dedup-batch replay: already-appended batch ids yield identical pairs") {
     import spark.implicits._
     // an at-least-once replay AFTER the append committed: the index holds
