@@ -289,6 +289,19 @@ object SparkEntry {
     // individually-oracled stages
     "q39_training_pipeline" -> ((s, dir) =>
       Pipeline.trainingCorpus(s, s.read.parquet(t(dir, "documents")))),
+    // benchmark decontamination: docs (mod 50 == 7) stand in for the
+    // held-out eval set; every other doc sharing a token n-gram with it is
+    // flagged. n=4 on this small-vocab synthetic corpus (the API default is
+    // the published 8); bench grams broadcast, corpus side one linear pass
+    "q46_contamination" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      TextOps.contamination(
+        docs.filter(col("doc_id") % 50 =!= 7),
+        docs.filter(col("doc_id") % 50 === 7), n = 4)
+    }),
+    // Gopher-style repetition signals + keep/drop verdict, all in-row
+    "q47_repetition" -> ((s, dir) =>
+      TextOps.repetitionFilter(s.read.parquet(t(dir, "documents")))),
 
     // ---- similarity search -------------------------------------------
     "q15_ann_cosine_topk" -> ((s, dir) =>
@@ -1232,7 +1245,55 @@ object SparkEntry {
     // survivors. q45 runs the same search after compact() physically purged
     // the tombstones, so it shares the SQL: purge must not change results.
     "q44_delete_search" -> deleteSearchOracleSql,
-    "q45_delete_compact_search" -> deleteSearchOracleSql)
+    "q45_delete_compact_search" -> deleteSearchOracleSql,
+    // benchmark decontamination (n=4 grams; whole-token-sequence gram for
+    // docs shorter than 4 tokens, matching TextOps.tokenNgrams)
+    "q46_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+        |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))
+        |    END AS grams
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 7),
+        |corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 7)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // repetition signals: list-lambda max-multiplicity (O(d^2) is fine for
+    // the oracle); integer/integer double division is exact in both engines
+    "q47_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    len(list_distinct(toks))::DOUBLE AS n_distinct,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE list_max(list_transform(list_distinct(toks),
+        |                g -> len(list_filter(toks, y -> y = g))))::DOUBLE END AS top_tok,
+        |    CASE WHEN len(toks) < 2 THEN 0.0
+        |         ELSE list_max(list_transform(
+        |                list_distinct(list_transform(range(1, len(toks)),
+        |                  i -> concat_ws(' ', toks[i], toks[i+1]))),
+        |                g -> len(list_filter(list_transform(range(1, len(toks)),
+        |                  i -> concat_ws(' ', toks[i], toks[i+1])), y -> y = g))))::DOUBLE
+        |    END AS top_bigram
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, distinct_ratio, top_token_frac, top_bigram_frac,
+        |  CASE WHEN top_bigram_frac > 0.1 OR distinct_ratio < 0.3
+        |       THEN 'repetitive' ELSE 'ok' END AS verdict
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens::DOUBLE ELSE 0.0 END AS distinct_ratio,
+        |    CASE WHEN n_tokens > 0 THEN top_tok / n_tokens::DOUBLE ELSE 0.0 END AS top_token_frac,
+        |    CASE WHEN n_tokens > 1 THEN top_bigram / (n_tokens - 1)::DOUBLE ELSE 0.0 END AS top_bigram_frac
+        |  FROM m)
+        |ORDER BY doc_id""".stripMargin)
 
   /** q44/q45: q19's independent BM25 chain with every docId ≡ 3 (mod 7)
     * removed BEFORE stats/df (the engine's deleteDocs recomputes both over

@@ -101,6 +101,96 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct lowercase token n-grams of `textCol` (space-joined), the unit
+    * of benchmark-decontamination overlap. Documents shorter than n tokens
+    * contribute their whole token sequence as one gram (so short benchmark
+    * items still participate); empty documents contribute nothing. */
+  private[ops] def tokenNgrams(textCol: Column, n: Int): Column = {
+    val toks = regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0))
+    when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Benchmark decontamination: flag corpus documents that share any token
+    * n-gram with a benchmark (held-out eval) set — the standard pre-training
+    * hygiene step (GPT-3-style 8..13-gram overlap). Returns one row per
+    * contaminated corpus document: `(doc_id, n_shared)` where `n_shared` is
+    * the number of DISTINCT n-grams of the document that occur anywhere in
+    * the benchmark.
+    *
+    * Scale shape: benchmark n-grams are distinct'd and BROADCAST (eval sets
+    * are small by nature — millions of grams, not billions), so the corpus
+    * side is ONE linear codegen'd pass (tokenize → gram transform → explode
+    * → broadcast hash semi-probe) with a map-side-combined count; no
+    * corpus-sized shuffle, no benchmark re-scan per partition. At 100 TB the
+    * cost is the document scan itself. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val bench = benchmark.select(explode(tokenNgrams(col("text"), n)).as("gram")).distinct()
+    corpus.select(col("doc_id"), explode(tokenNgrams(col("text"), n)).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Largest multiplicity of any element in `arr`: sort the array in-row,
+    * then fold the longest equal-run. O(d log d) per row, shuffle-free —
+    * the per-document statistic never leaves its row, so the operator
+    * scales as a pure map over the corpus (vs the naive explode → groupBy
+    * (doc, gram) → max(doc) double shuffle). */
+  private[ops] def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition filter: per-document repetition signals over
+    * word tokens — type/token ratio, most-frequent-token fraction,
+    * most-frequent-bigram fraction — and a keep/drop verdict. (The
+    * line-based Gopher rules degrade to these on single-line documents.)
+    * All in-row Catalyst (one tokenize pass, sorted-run folds), no shuffle:
+    * at 100 TB this is a pure map stage a writer can fuse with quality /
+    * langId filters (cf. Pipeline.trainingCorpus). */
+  def repetitionFilter(
+      docs: DataFrame,
+      maxTopBigramFrac: Double = 0.1,
+      minDistinctRatio: Double = 0.3): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val bigrams = when(size(col("toks")) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("double").as("n_distinct"),
+        maxMultiplicity(col("toks")).cast("double").as("top_tok"),
+        maxMultiplicity(bigrams).cast("double").as("top_bigram"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        when(col("n_tokens") > 0, col("n_distinct") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("distinct_ratio"),
+        when(col("n_tokens") > 0, col("top_tok") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("top_token_frac"),
+        when(col("n_tokens") > 1, col("top_bigram") / (col("n_tokens") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .withColumn("verdict",
+        when(col("top_bigram_frac") > maxTopBigramFrac ||
+          col("distinct_ratio") < minDistinctRatio, lit("repetitive"))
+          .otherwise(lit("ok")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style) over word tokens — the
     * positional fingerprint (not SQL-expressible; ScalaTest-verified). */
   def rollingHash(tokens: Seq[String], window: Int = 8): Seq[Long] = {

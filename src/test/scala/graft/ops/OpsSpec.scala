@@ -820,4 +820,92 @@ class OpsSpec extends AnyFunSuite {
     // "three4five" is ONE [A-Za-z0-9]+ run — digits don't split word tokens
     assert(got == Seq((1L, 4, 3, 6), (2L, 1, 0, 0), (3L, 2, 3, 18)))
   }
+
+  test("contamination: planted n-gram overlap flagged, clean docs not") {
+    import spark.implicits._
+    val bench = spark.createDataset(Seq(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "one two"))) // < n tokens → whole sequence is the gram
+      .toDF("doc_id", "text")
+    val corpus = spark.createDataset(Seq(
+      (1L, "he said the quick brown fox runs"), // shares "the quick brown fox"
+      (2L, "totally unrelated words here today"),
+      (3L, "one two"),                          // equals the short benchmark gram
+      (4L, "quick brown fox jumps over the lazy dog indeed"), // 3 shared 4-grams... compute below
+      (5L, "")))
+      .toDF("doc_id", "text")
+    val got = TextOps.contamination(corpus, bench, n = 4)
+      .as[(Long, Long)].collect().toMap
+    // driver-side ground truth over the same definition
+    def grams(s: String): Set[String] = {
+      val t = "[a-z0-9]+".r.findAllIn(s.toLowerCase).toVector
+      if (t.isEmpty) Set.empty
+      else if (t.length < 4) Set(t.mkString(" "))
+      else t.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val bg = Set("the quick brown fox jumps over the lazy dog", "one two").flatMap(grams)
+    val want = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(id => id -> grams(Map(
+        1L -> "he said the quick brown fox runs",
+        2L -> "totally unrelated words here today",
+        3L -> "one two",
+        4L -> "quick brown fox jumps over the lazy dog indeed",
+        5L -> "")(id)).count(bg.contains).toLong)
+      .filter(_._2 > 0).toMap
+    assert(got == want)
+    assert(got.contains(1L) && got.contains(3L) && got.contains(4L))
+    assert(!got.contains(2L) && !got.contains(5L))
+    // a doc whose 4-grams all appear in the benchmark counts each once
+    assert(got(4L) == grams("quick brown fox jumps over the lazy dog indeed").count(bg.contains))
+  }
+
+  test("contamination plan: benchmark grams broadcast, no corpus-sized shuffle join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val plan = TextOps.contamination(
+      docs.filter(col("doc_id") % 50 =!= 7),
+      docs.filter(col("doc_id") % 50 === 7), n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus side must never shuffle for the join")
+  }
+
+  test("repetition filter: hand-computed signals and verdicts") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(
+      (1L, "a a a a b"),          // top token 4/5, top bigram "a a" 3/4 → repetitive
+      // all distinct, long enough that top_bigram 1/(n-1) clears 0.1 → ok
+      (2L, "the quick brown fox jumps over one lazy dog while two cats watch from a tall green fence near town"),
+      (3L, ""),                    // empty → zeros, distinct_ratio 0 → repetitive
+      (4L, "x y x y x y x y")))    // bigram "x y" 4/7 → repetitive
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionFilter(df)
+      .as[(Long, Long, Double, Double, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 2.0 / 5, 4.0 / 5, 3.0 / 4, "repetitive"),
+      (2L, 20L, 1.0, 1.0 / 20, 1.0 / 19, "ok"),
+      (3L, 0L, 0.0, 0.0, 0.0, "repetitive"),
+      (4L, 8L, 2.0 / 8, 4.0 / 8, 4.0 / 7, "repetitive")))
+  }
+
+  test("repetition filter on the fixture corpus matches a driver computation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val got = TextOps.repetitionFilter(docs)
+      .as[(Long, Long, Double, Double, Double, String)].collect().toSeq
+    val want = docs.as[(Long, String)].collect().sortBy(_._1).map { case (id, text) =>
+      val t = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      val bi = if (t.length < 2) Vector.empty else t.sliding(2).map(_.mkString(" ")).toVector
+      def topMult(xs: Vector[String]): Double =
+        if (xs.isEmpty) 0.0 else xs.groupBy(identity).values.map(_.size).max.toDouble
+      val n = t.length
+      val dr = if (n > 0) t.distinct.length.toDouble / n else 0.0
+      val ttf = if (n > 0) topMult(t) / n else 0.0
+      val tbf = if (n > 1) topMult(bi) / (n - 1) else 0.0
+      (id, n.toLong, dr, ttf, tbf, if (tbf > 0.1 || dr < 0.3) "repetitive" else "ok")
+    }.toSeq
+    assert(got == want)
+    assert(got.exists(_._6 == "repetitive") && got.exists(_._6 == "ok"),
+      "fixture exercises both verdicts")
+  }
 }
