@@ -302,6 +302,11 @@ object SparkEntry {
     // Gopher-style repetition signals + keep/drop verdict, all in-row
     "q47_repetition" -> ((s, dir) =>
       TextOps.repetitionFilter(s.read.parquet(t(dir, "documents")))),
+    // repeated-substring duplication: per-doc fraction of 10-token windows
+    // whose fingerprint occurs more than once corpus-wide (the positional
+    // dedup axis — boilerplate/quoted spans — whole-doc hashes can't see)
+    "q48_substring_dup" -> ((s, dir) =>
+      Dedup.substringDup(s.read.parquet(t(dir, "documents")))),
 
     // ---- similarity search -------------------------------------------
     "q15_ann_cosine_topk" -> ((s, dir) =>
@@ -1293,7 +1298,27 @@ object SparkEntry {
         |    CASE WHEN n_tokens > 0 THEN top_tok / n_tokens::DOUBLE ELSE 0.0 END AS top_token_frac,
         |    CASE WHEN n_tokens > 1 THEN top_bigram / (n_tokens - 1)::DOUBLE ELSE 0.0 END AS top_bigram_frac
         |  FROM m)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // repeated-substring duplication (10-token windows, md5 fingerprints;
+    // occurrence counts are multiset — within-doc repeats count)
+    "q48_substring_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 10 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(1, len(toks) - 8),
+        |           i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+        |                              toks[i+5], toks[i+6], toks[i+7], toks[i+8], toks[i+9])))
+        |    END AS wins
+        |  FROM toks),
+        |u AS (SELECT doc_id, unnest(wins) AS h FROM w),
+        |occ AS (SELECT h, count(*) AS occ FROM u GROUP BY h),
+        |dup AS (SELECT doc_id, count(*) AS n_dup FROM u JOIN occ USING (h) WHERE occ > 1 GROUP BY doc_id)
+        |SELECT w.doc_id, len(wins)::BIGINT AS n_windows,
+        |  coalesce(n_dup, 0)::BIGINT AS n_dup_windows,
+        |  CASE WHEN len(wins) > 0 THEN coalesce(n_dup, 0)::DOUBLE / len(wins)::DOUBLE ELSE 0.0 END AS dup_frac
+        |FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id ORDER BY w.doc_id""".stripMargin)
 
   /** q44/q45: q19's independent BM25 chain with every docId ≡ 3 (mod 7)
     * removed BEFORE stats/df (the engine's deleteDocs recomputes both over

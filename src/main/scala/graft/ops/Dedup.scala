@@ -20,6 +20,49 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("content_md5"))
 
+  /** Repeated-substring duplication (the Lee-et-al.-2021 axis): fingerprint
+    * every `window`-token span (md5 of the space-joined window) and
+    * measure, per document, how much of it consists of spans occurring
+    * MORE THAN ONCE across the corpus — including repeats within the same
+    * document. This is the positional/substring signal the whole-document
+    * MinHash / SimHash / n-gram-Jaccard family cannot see (boilerplate,
+    * quoted spans, templated intros). Returns
+    * `(doc_id, n_windows, n_dup_windows, dup_frac)`; documents shorter
+    * than `window` tokens have zero windows.
+    *
+    * Scale shape: window fingerprints are computed IN-ROW (tokenize →
+    * transform → md5, codegen'd); the (doc, hash) multiset is
+    * pre-aggregated map-side before the one hash shuffle, global
+    * occurrence counts hold a counter per hash (never a list), and the
+    * dup flags flow back through a hash-keyed join of two
+    * ALREADY-AGGREGATED frames — a window repeated a billion times costs
+    * a counter, not executor memory. */
+  def substringDup(docs: DataFrame, window: Int = 10): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val wins = when(size(col("toks")) < window, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("toks")) - (window - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(window))))))
+    val tokDocs = docs.select(col("doc_id"), toks.as("toks"))
+    // per-(doc, window-hash) multiplicity — the only corpus-sized shuffle
+    val dh = tokDocs.select(col("doc_id"), explode(wins).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    val occ = dh.groupBy(col("h")).agg(sum(col("c")).as("occ"))
+    val dupPerDoc = dh.join(occ.filter(col("occ") > 1), Seq("h"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_dup_windows"))
+    tokDocs
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - (window - 1), lit(0)).cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Word n-gram shingle set of a text (lowercased word tokens). */
   def shingles(text: String, n: Int): Set[String] = {
     val toks = graft.text.TextPipeline.tokenize(text).map(_.toLowerCase)

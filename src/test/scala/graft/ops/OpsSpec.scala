@@ -888,6 +888,55 @@ class OpsSpec extends AnyFunSuite {
       (4L, 8L, 2.0 / 8, 4.0 / 8, 4.0 / 7, "repetitive")))
   }
 
+  test("substring dup: planted repeated spans measured, within-doc repeats count") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"w$i").mkString(" ") // exactly one window
+    val df = spark.createDataset(Seq(
+      (1L, span),                                  // window shared with doc 2 → dup
+      (2L, s"lead in words then $span"),           // contains the span + unique windows
+      (3L, "all fresh tokens " + (1 to 10).map(i => s"u$i").mkString(" ")),
+      (4L, s"$span $span"),                        // 20 toks: within-doc repeat at offset 10
+      (5L, "too short")))                          // < 10 tokens → no windows
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDup(df).as[(Long, Long, Long, Double)].collect().toSeq
+    // driver ground truth over the same definition
+    val texts = df.as[(Long, String)].collect().toMap
+    val wins = texts.map { case (id, t) =>
+      id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector.sliding(10)
+        .filter(_.length == 10).map(_.mkString(" ")).toVector
+    }
+    val occ = wins.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val want = wins.toSeq.sortBy(_._1).map { case (id, ws) =>
+      val dup = ws.count(w => occ(w) > 1).toLong
+      (id, ws.length.toLong, dup, if (ws.nonEmpty) dup.toDouble / ws.length else 0.0)
+    }
+    assert(got == want)
+    assert(got.find(_._1 == 1L).get._4 == 1.0, "doc 1 is entirely a shared span")
+    assert(got.find(_._1 == 3L).get._3 == 0L, "fresh doc has no dup windows")
+    val d4 = got.find(_._1 == 4L).get
+    assert(d4._2 == 11 && d4._3 >= 2, "within-doc repeat makes both copies dup windows")
+    assert(got.find(_._1 == 5L).get == ((5L, 0L, 0L, 0.0)), "short doc → zeros")
+  }
+
+  test("substring dup on the fixture corpus matches a driver computation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val got = Dedup.substringDup(docs).as[(Long, Long, Long, Double)].collect().toSeq
+    val texts = docs.as[(Long, String)].collect()
+    val wins = texts.map { case (id, t) =>
+      id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector.sliding(10)
+        .filter(_.length == 10).map(_.mkString(" ")).toVector
+    }
+    val occ = wins.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val want = wins.sortBy(_._1).map { case (id, ws) =>
+      val dup = ws.count(w => occ(w) > 1).toLong
+      (id, ws.length.toLong, dup, if (ws.nonEmpty) dup.toDouble / ws.length else 0.0)
+    }.toSeq
+    assert(got == want)
+    assert(got.exists(_._4 == 1.0), "fixture's exact dups are fully duplicated spans")
+    assert(got.exists(r => r._4 > 0.0 && r._4 < 1.0), "and some spans are partial")
+  }
+
   test("repetition filter on the fixture corpus matches a driver computation") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
