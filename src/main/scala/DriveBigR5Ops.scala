@@ -1,0 +1,107 @@
+/** Round-5 scale datapoints for the three newest pipeline operators over
+  * the 10M-turn corpus (reuses `/tmp/big_turns` + `/tmp/big_wh` via resume,
+  * so it can run standalone):
+  *
+  *  A. `TextOps.repetitionFilter` — the pure-map claim at 10.1M docs
+  *     (no shuffle; throughput should track the tokenize scan);
+  *  B. `TextOps.contamination` — ~1k-doc benchmark (doc_id % 10000 == 7)
+  *     vs the rest at n=8: bench grams broadcast, corpus one pass;
+  *  C. `Dedup.substringDup` — the one corpus-sized hash shuffle
+  *     (~10M docs × ~40 windows each), plus an at-scale consistency
+  *     check: every doc in an exact-duplicate group (≥10 tokens) must
+  *     come out with dup_frac == 1.0.
+  *
+  * `sbt "runMain DriveBigR5Ops [norep] [nocontam] [nosub]"`
+  */
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.build.{IndexBuilder, Tables}
+import graft.model.Turn
+import graft.ops.{Dedup, TextOps}
+import graft.store.ParquetTableIO
+
+object DriveBigR5Ops {
+  private def timed[T](label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"[$label] ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val src = "/tmp/big_turns"
+    if (!new java.io.File(src + "/_SUCCESS").exists()) {
+      graft.corpus.TranscriptGen.generate(spark, 2250000L)
+        .repartitionByRange(64, col("conv_id"), col("turn_idx"))
+        .write.mode("overwrite").parquet(src)
+    }
+    val turns = spark.read.parquet(src).as[Turn]
+    val wh = "/tmp/big_wh"
+    val io = new ParquetTableIO(spark, wh)
+    if (!io.exists(Tables.Blocks))
+      timed("build")(new IndexBuilder(spark, io, rawShards = 4).build(turns, resume = true))
+
+    // materialize the (doc_id, text) table ONCE — the DocDict ⋈ turns id
+    // assignment is a shared one-time cost, not part of any operator; each
+    // op below is timed over a clean parquet scan of this table
+    val docsPath = "/tmp/big_docs"
+    if (!new java.io.File(docsPath + "/_SUCCESS").exists())
+      timed("materialize (doc_id, text) table")(
+        io.read(Tables.DocDict).select($"docId".as("doc_id"), $"conv_id", $"turn_idx")
+          .join(turns.toDF(), Seq("conv_id", "turn_idx"))
+          .select($"doc_id", $"text")
+          .repartitionByRange(64, $"doc_id")
+          .write.mode("overwrite").parquet(docsPath))
+    val docs = spark.read.parquet(docsPath)
+    val nDocs = docs.count()
+    println(s"[corpus] $nDocs docs")
+
+    // ---- A. repetition filter: pure map, no shuffle --------------------
+    if (!args.contains("norep")) {
+      val out = "/tmp/big_rep"
+      timed("repetitionFilter (full corpus)")(
+        TextOps.repetitionFilter(docs).write.mode("overwrite").parquet(out))
+      val flagged = spark.read.parquet(out).filter($"verdict" === "repetitive").count()
+      println(s"[repetition] flagged $flagged of $nDocs")
+    }
+
+    // ---- B. contamination: broadcast bench, one corpus pass ------------
+    if (!args.contains("nocontam")) {
+      val bench = docs.filter($"doc_id" % 10000 === 7)
+      val corpus = docs.filter($"doc_id" % 10000 =!= 7)
+      println(s"[contamination] bench docs: ${bench.count()}")
+      val hits = timed("contamination n=8 (corpus vs ~1k bench)")(
+        TextOps.contamination(corpus, bench, n = 8).count())
+      println(s"[contamination] contaminated docs: $hits")
+    }
+
+    // ---- C. substring dup: the one hash shuffle + consistency check ----
+    if (!args.contains("nosub")) {
+      val out = "/tmp/big_subdup"
+      timed("substringDup (full corpus, 10-token windows)")(
+        Dedup.substringDup(docs).write.mode("overwrite").parquet(out))
+      val sub = spark.read.parquet(out)
+      val full = sub.filter($"dup_frac" === 1.0).count()
+      val partial = sub.filter($"dup_frac" > 0.0 && $"dup_frac" < 1.0).count()
+      println(s"[substringDup] full-dup docs: $full, partial: $partial")
+      // every member of an exact-duplicate group with >= 1 window must be
+      // fully duplicated (its windows all occur in the twin too)
+      val bad = timed("substringDup vs exact-dedup consistency")(
+        Dedup.exact(docs).filter($"n_copies" > 1)
+          .join(docs.select(md5($"text").as("content_md5"), $"doc_id"), Seq("content_md5"))
+          .join(sub, Seq("doc_id"))
+          .filter($"n_windows" > 0 && $"dup_frac" =!= 1.0).count())
+      println(s"[substringDup] exact-dup members not fully duplicated: $bad (must be 0)")
+      assert(bad == 0L, s"substringDup inconsistent with exact dedup: $bad rows")
+    }
+
+    spark.stop()
+  }
+}

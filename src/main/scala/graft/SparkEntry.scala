@@ -1299,17 +1299,19 @@ object SparkEntry {
         |    CASE WHEN n_tokens > 1 THEN top_bigram / (n_tokens - 1)::DOUBLE ELSE 0.0 END AS top_bigram_frac
         |  FROM m)
         |ORDER BY doc_id""".stripMargin,
-    // repeated-substring duplication (10-token windows, md5 fingerprints;
-    // occurrence counts are multiset — within-doc repeats count)
+    // repeated-substring duplication (10-token windows; fingerprint = the
+    // 60-bit ('0x' || first-15-hex-of-md5) BIGINT both engines derive
+    // identically — occurrence counts are multiset, within-doc repeats
+    // count)
     "q48_substring_dup" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
         |w AS (
         |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 10 THEN CAST([] AS VARCHAR[])
+        |    CASE WHEN len(toks) < 10 THEN CAST([] AS BIGINT[])
         |         ELSE list_transform(range(1, len(toks) - 8),
-        |           i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4],
-        |                              toks[i+5], toks[i+6], toks[i+7], toks[i+8], toks[i+9])))
+        |           i -> ('0x' || substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+        |                              toks[i+5], toks[i+6], toks[i+7], toks[i+8], toks[i+9])), 1, 15))::BIGINT)
         |    END AS wins
         |  FROM toks),
         |u AS (SELECT doc_id, unnest(wins) AS h FROM w),
