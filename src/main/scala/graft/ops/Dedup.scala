@@ -43,6 +43,7 @@ object Dedup {
     * derives the identical 60-bit value, so contract parity is exact by
     * construction. */
   def substringDup(docs: DataFrame, window: Int = 10): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens, got $window")
     val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val wins = when(size(col("toks")) < window, array().cast("array<long>"))
       .otherwise(transform(

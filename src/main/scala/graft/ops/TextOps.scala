@@ -128,6 +128,7 @@ object TextOps {
     * corpus-sized shuffle, no benchmark re-scan per partition. At 100 TB the
     * cost is the document scan itself. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     val bench = benchmark.select(explode(tokenNgrams(col("text"), n)).as("gram")).distinct()
     corpus.select(col("doc_id"), explode(tokenNgrams(col("text"), n)).as("gram"))
       .join(broadcast(bench), "gram")
