@@ -307,6 +307,15 @@ object SparkEntry {
     // dedup axis — boilerplate/quoted spans — whole-doc hashes can't see)
     "q48_substring_dup" -> ((s, dir) =>
       Dedup.substringDup(s.read.parquet(t(dir, "documents")))),
+    // the FULL hygiene pipeline: quality → langId → repetition →
+    // decontamination → simhash dedup keepers → split, one plan (q39 plus
+    // the round-5 filters) — the integration contract across all of them
+    "q49_hygiene_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      Pipeline.hygieneCorpus(s,
+        docs.filter(col("doc_id") % 50 =!= 7),
+        docs.filter(col("doc_id") % 50 === 7))
+    }),
 
     // ---- similarity search -------------------------------------------
     "q15_ann_cosine_topk" -> ((s, dir) =>
@@ -1320,7 +1329,71 @@ object SparkEntry {
         |SELECT w.doc_id, len(wins)::BIGINT AS n_windows,
         |  coalesce(n_dup, 0)::BIGINT AS n_dup_windows,
         |  CASE WHEN len(wins) > 0 THEN coalesce(n_dup, 0)::DOUBLE / len(wins)::DOUBLE ELSE 0.0 END AS dup_frac
-        |FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id ORDER BY w.doc_id""".stripMargin)
+        |FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id ORDER BY w.doc_id""".stripMargin,
+    // the hygiene pipeline: the q12/q13/q47 feature arithmetic, the q46
+    // gram anti-join (over the FILTERED corpus), the q26/q28/q36 closure
+    // (over the survivors), and the q37 split md5 chained in one statement
+    "q49_hygiene_pipeline" ->
+      s"""WITH RECURSIVE featall AS (
+         |  SELECT doc_id, text, n_words,
+         |    CASE WHEN n_tokens > 0 THEN hits / words ELSE 0.0 END AS stopword_ratio,
+         |    CASE WHEN n_tokens > 0 THEN n_distinct / n_tokens::DOUBLE ELSE 0.0 END AS distinct_ratio,
+         |    CASE WHEN n_tokens > 1 THEN top_bigram / (n_tokens - 1)::DOUBLE ELSE 0.0 END AS top_bigram_frac
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+         |      len(toks) AS n_tokens,
+         |      len(toks)::DOUBLE AS words,
+         |      len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','it','that','for','was','with','are','this','you')))::DOUBLE AS hits,
+         |      len(list_distinct(toks))::DOUBLE AS n_distinct,
+         |      CASE WHEN len(toks) < 2 THEN 0.0
+         |           ELSE list_max(list_transform(list_distinct(list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1]))),
+         |                  g -> len(list_filter(list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1])), y -> y = g))))::DOUBLE
+         |      END AS top_bigram
+         |    FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |          FROM documents WHERE doc_id % 50 <> 7))),
+         |filt AS (
+         |  SELECT doc_id, text, n_words, stopword_ratio, distinct_ratio, top_bigram_frac
+         |  FROM featall
+         |  WHERE n_words >= 15 AND stopword_ratio >= 0.02
+         |    AND NOT (top_bigram_frac > 0.1 OR distinct_ratio < 0.3)),
+         |bgr AS (
+         |  SELECT DISTINCT unnest(grams) AS gram FROM (
+         |    SELECT CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |                WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |                ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+         |                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))) END AS grams
+         |    FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |          FROM documents WHERE doc_id % 50 = 7))),
+         |cont AS (
+         |  SELECT DISTINCT cg.doc_id FROM (
+         |    SELECT doc_id, unnest(grams) AS gram FROM (
+         |      SELECT doc_id,
+         |        CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |             WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |             ELSE list_distinct(list_transform(range(1, len(toks) - 2),
+         |                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))) END AS grams
+         |      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM filt))) cg
+         |  JOIN bgr ON cg.gram = bgr.gram),
+         |surv AS (SELECT doc_id, text FROM filt WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |${reachCtes("surv")},
+         |cl AS (SELECT src AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY src),
+         |sz AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id),
+         |keep AS (
+         |  SELECT c.doc_id, c.cluster_id, s.n_members
+         |  FROM cl c JOIN sz s USING (cluster_id) WHERE c.doc_id = c.cluster_id),
+         |spl AS (
+         |  SELECT doc_id, bucket,
+         |    CASE WHEN bucket < 900 THEN 'train'
+         |         WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split,
+         |    CAST((('0x' || substr(md5('graft:shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8) AS INTEGER) AS shard
+         |  FROM (SELECT doc_id,
+         |          CAST((('0x' || substr(md5('graft:split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000) AS INTEGER) AS bucket
+         |        FROM keep))
+         |SELECT k.doc_id, f.n_words, f.stopword_ratio, f.distinct_ratio, f.top_bigram_frac,
+         |       k.cluster_id, k.n_members, p.bucket, p.split, p.shard
+         |FROM keep k JOIN featall f USING (doc_id) JOIN spl p USING (doc_id)
+         |ORDER BY k.doc_id""".stripMargin)
 
   /** q44/q45: q19's independent BM25 chain with every docId ≡ 3 (mod 7)
     * removed BEFORE stats/df (the engine's deleteDocs recomputes both over

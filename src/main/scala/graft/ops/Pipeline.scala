@@ -52,6 +52,115 @@ object Pipeline {
     try use(out) finally release()
   }
 
+  /** The FULL hygiene pipeline (trainingCorpus + the round-5 operators):
+    * quality → language → repetition filter → benchmark decontamination →
+    * simhash near-dup dedup (keepers) → deterministic split/shard, as one
+    * plan. All four per-document signals (q12 n_words, q13 stopword_ratio,
+    * q47 distinct_ratio / top_bigram_frac) come out of ONE projection over
+    * ONE tokenize pass, and the three scalar filters fuse into the same
+    * codegen'd scan; decontamination is an anti-join against the
+    * (contaminated-doc-sized) flag set computed from the ALREADY-filtered
+    * corpus, so only survivors pay the gram explode. The arithmetic of
+    * every stage is bit-identical to its standalone operator.
+    *
+    * @return (doc_id, n_words, stopword_ratio, distinct_ratio,
+    *         top_bigram_frac, cluster_id, n_members, bucket, split, shard)
+    *         — one row per surviving keeper.
+    */
+  def hygieneCorpus(
+      spark: SparkSession,
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minWords: Int = 15,
+      langThreshold: Double = 0.02,
+      maxTopBigramFrac: Double = 0.1,
+      minDistinctRatio: Double = 0.3,
+      ngramN: Int = 4,
+      maxBits: Int = 3,
+      blocks: Int = 4): DataFrame =
+    hygieneCorpusImpl(spark, docs, benchmark, minWords, langThreshold,
+      maxTopBigramFrac, minDistinctRatio, ngramN, maxBits, blocks)._1
+
+  /** hygieneCorpus with deterministic cleanup (same contract as
+    * trainingCorpusManaged: consume the frame fully inside `use`). */
+  def hygieneCorpusManaged[T](
+      spark: SparkSession,
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minWords: Int = 15,
+      langThreshold: Double = 0.02,
+      maxTopBigramFrac: Double = 0.1,
+      minDistinctRatio: Double = 0.3,
+      ngramN: Int = 4,
+      maxBits: Int = 3,
+      blocks: Int = 4)(use: DataFrame => T): T = {
+    val (out, release) = hygieneCorpusImpl(spark, docs, benchmark, minWords,
+      langThreshold, maxTopBigramFrac, minDistinctRatio, ngramN, maxBits, blocks)
+    try use(out) finally release()
+  }
+
+  private def hygieneCorpusImpl(
+      spark: SparkSession,
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minWords: Int,
+      langThreshold: Double,
+      maxTopBigramFrac: Double,
+      minDistinctRatio: Double,
+      ngramN: Int,
+      maxBits: Int,
+      blocks: Int): (DataFrame, () => Unit) = {
+    import spark.implicits._
+    // one tokenize pass feeds all four signals; expressions are copied
+    // from TextOps.qualityScore/langId/repetitionFilter so the arithmetic
+    // (IEEE order included) is identical to the standalone operators
+    val toksLower = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val staged = docs.select(col("doc_id"), col("text"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+        .cast("long").as("n_words"),
+      toksLower.as("toks"))
+    val bigrams = when(size(col("toks")) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
+    val hits = size(filter(col("toks"),
+      t => array_contains(lit(TextOps.StopWords.toArray), t))).cast("double")
+    val feat = staged
+      .select(col("doc_id"), col("text"), col("n_words"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("toks")).cast("double").as("words"),
+        hits.as("hits"),
+        size(array_distinct(col("toks"))).cast("double").as("n_distinct"),
+        TextOps.maxMultiplicity(bigrams).cast("double").as("top_bigram"))
+      .select(col("doc_id"), col("text"), col("n_words"),
+        when(col("words") > 0, col("hits") / col("words"))
+          .otherwise(lit(0.0)).as("stopword_ratio"),
+        when(col("n_tokens") > 0, col("n_distinct") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("distinct_ratio"),
+        when(col("n_tokens") > 1, col("top_bigram") / (col("n_tokens") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+    val filt = feat.filter(
+      $"n_words" >= minWords && $"stopword_ratio" >= langThreshold &&
+        !($"top_bigram_frac" > maxTopBigramFrac || $"distinct_ratio" < minDistinctRatio))
+    // decontaminate the already-filtered corpus: only survivors pay grams
+    val contaminated = TextOps.contamination(
+      filt.select($"doc_id", $"text"), benchmark, ngramN).select($"doc_id")
+    val surv = filt.join(contaminated, Seq("doc_id"), "left_anti").cache()
+    val pairs = Dedup.simHashNearDup(spark, surv, maxBits, blocks)
+    val (clusters, ckpt) =
+      Dedup.dedupClustersImpl(spark, pairs, surv.select($"doc_id"), 30)
+    val keepers = Dedup.applyKeepers(spark, surv, clusters)
+    val out = keepers
+      .join(TextOps.splitAssign(keepers.select($"doc_id")), Seq("doc_id"))
+      .join(surv.select($"doc_id", $"n_words", $"stopword_ratio",
+        $"distinct_ratio", $"top_bigram_frac"), Seq("doc_id"))
+      .select($"doc_id", $"n_words", $"stopword_ratio", $"distinct_ratio",
+        $"top_bigram_frac", $"cluster_id", $"n_members", $"bucket",
+        $"split", $"shard")
+      .orderBy($"doc_id")
+    (out, () => { surv.unpersist(false); ckpt.unpersist(false); () })
+  }
+
   /** NOTE: the unmanaged frame is backed by the survivor cache and the
     * final CC localCheckpoint — same hazard note as Dedup.dedupClusters;
     * long-lived sessions should consume via trainingCorpusManaged. */

@@ -424,6 +424,44 @@ class OpsSpec extends AnyFunSuite {
     assert(out == want)
   }
 
+  test("hygiene pipeline ≡ the standalone stages chained by hand") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val docs = all.filter($"doc_id" % 50 =!= 7)
+    val bench = all.filter($"doc_id" % 50 === 7)
+    val out = Pipeline.hygieneCorpus(spark, docs, bench)
+      .as[(Long, Long, Double, Double, Double, Long, Long, Int, String, Int)]
+      .collect().toSeq
+    // survivors via the standalone q12/q13/q47/q46 operators
+    val nWords = TextOps.qualityScore(docs)
+      .select("doc_id", "n_words").as[(Long, Long)].collect().toMap
+    val ratios = TextOps.langId(docs)
+      .select("doc_id", "stopword_ratio").as[(Long, Double)].collect().toMap
+    val rep = TextOps.repetitionFilter(docs)
+      .select("doc_id", "distinct_ratio", "top_bigram_frac", "verdict")
+      .as[(Long, Double, Double, String)].collect().map(r => r._1 -> r).toMap
+    val filtIds = nWords.keySet.filter(id =>
+      nWords(id) >= 15 && ratios(id) >= 0.02 && rep(id)._4 == "ok")
+    val filt = docs.filter($"doc_id".isin(filtIds.toSeq: _*))
+    val contaminated = TextOps.contamination(filt, bench, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val survIds = filtIds -- contaminated
+    assert(contaminated.nonEmpty && survIds.nonEmpty && survIds.size < nWords.size,
+      "every filter must bite")
+    val surv = docs.filter($"doc_id".isin(survIds.toSeq: _*))
+    val keepers = Dedup.applyKeepers(spark, surv,
+      Dedup.dedupClusters(spark, Dedup.simHashNearDup(spark, surv), surv.select($"doc_id")))
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> ((r._1, r._3))).toMap
+    val split = TextOps.splitAssign(surv)
+      .as[(Long, Int, String, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = keepers.toSeq.map { case (docId, (cid, n)) =>
+      val (bucket, sp, shard) = split(docId)
+      (docId, nWords(docId), ratios(docId), rep(docId)._2, rep(docId)._3,
+        cid, n, bucket, sp, shard)
+    }.sortBy(_._1)
+    assert(out == want)
+  }
+
   test("minhash index: indexed ≡ one-shot; build-half+append-half ≡ build-all; version guard") {
     import spark.implicits._
     val docs = docsWithDups
