@@ -102,6 +102,18 @@ object DriveBigR5Ops {
       assert(bad == 0L, s"substringDup inconsistent with exact dedup: $bad rows")
     }
 
+    // ---- D. (opt-in: "hyg") the full hygiene pipeline in one plan ------
+    if (args.contains("hyg")) {
+      val bench = docs.filter($"doc_id" % 10000 === 7)
+      val corpus = docs.filter($"doc_id" % 10000 =!= 7)
+      val kept = timed("hygieneCorpus (quality+lang+repetition+decontam+dedup+split, one plan)")(
+        graft.ops.Pipeline.hygieneCorpusManaged(spark, corpus, bench, ngramN = 8) { out =>
+          out.write.mode("overwrite").parquet("/tmp/big_hyg")
+          spark.read.parquet("/tmp/big_hyg").count()
+        })
+      println(s"[hygiene] keepers: $kept of $nDocs")
+    }
+
     spark.stop()
   }
 }

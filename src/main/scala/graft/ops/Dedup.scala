@@ -204,7 +204,10 @@ object Dedup {
       .agg(collect_list($"doc_id").as("ids"))
       .select($"ids").as[Seq[Long]]
       .flatMap { ids =>
-        val s = ids.sorted
+        // decoded Seq is a LIST: materialize to Array or the indexed
+        // accesses below cost O(k) each (O(k^3) per bucket — measured as
+        // an 85-minute stall on full 1000-member buckets at 10M docs)
+        val s = ids.sorted.toArray
         s.indices.iterator.flatMap(i =>
           (i + 1 until s.length).iterator.map(j => (s(i), s(j))))
       }
@@ -499,7 +502,7 @@ object Dedup {
       .filter(exists($"ms", m => m.getField("is_new")))
       .select($"ms").as[Seq[(Long, Boolean)]]
       .flatMap { ms =>
-        val s = ms.sortBy(_._1)
+        val s = ms.sortBy(_._1).toArray // List indexing is O(k) — see above
         s.indices.iterator.flatMap(i =>
           (i + 1 until s.length).iterator
             .filter(j => s(i)._2 || s(j)._2) // pairs touching a new doc only
@@ -601,7 +604,7 @@ object Dedup {
       .agg(collect_list(struct($"doc_id", $"simhash")).as("members"))
       .select($"members").as[Seq[(Long, Long)]]
       .flatMap { ms =>
-        val s = ms.sortBy(_._1)
+        val s = ms.sortBy(_._1).toArray // List indexing is O(k) — see above
         val mb = maxBits
         // hamming filter INSIDE the pair emission: hamming is a function
         // of the pair (identical for every bucket the pair co-occurs in),
@@ -885,7 +888,7 @@ object Dedup {
       .groupBy($"bucket").agg(collect_list($"vec_id").as("ids"))
       .select($"ids").as[Seq[Long]]
       .flatMap { ids =>
-        val s = ids.sorted
+        val s = ids.sorted.toArray // List indexing is O(k) — see above
         s.indices.iterator.flatMap(i =>
           (i + 1 until s.length).iterator.map(j => (s(i), s(j))))
       }
