@@ -44,22 +44,34 @@ object Dedup {
     * construction. */
   def substringDup(docs: DataFrame, window: Int = 10): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens, got $window")
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    val wins = when(size(col("toks")) < window, array().cast("array<long>"))
-      .otherwise(transform(
-        sequence(lit(1), size(col("toks")) - (window - 1)),
-        i => conv(substring(md5(concat_ws(" ", slice(col("toks"), i, lit(window)))),
-          1, 15), 16, 10).cast("long")))
-    val tokDocs = docs.select(col("doc_id"), toks.as("toks"))
-    // per-(doc, window-hash) multiplicity — the only corpus-sized shuffle
-    val dh = tokDocs.select(col("doc_id"), explode(wins).as("h"))
+    import docs.sparkSession.implicits._
+    val src = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // Round 6: window fingerprints come from a typed kernel (one tokenize
+    // char-scan + one MD5 per span, TextKernel.windowHashes) instead of
+    // the interpreted `transform(... md5(concat_ws(...)))` expression —
+    // identical 60-bit values (first 15 md5 hex nibbles), same plan shape
+    // downstream (the one hash shuffle, counters not lists).
+    val dh = src.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else TextKernel.windowHashes(TextKernel.lowerTokens(text), window, md)
+            .iterator.map(h => (id, h))
+        }
+      }.toDF("doc_id", "h")
+      // per-(doc, window-hash) multiplicity — the only corpus-sized shuffle
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
     val occ = dh.groupBy(col("h")).agg(sum(col("c")).as("occ"))
     val dupPerDoc = dh.join(occ.filter(col("occ") > 1), Seq("h"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_dup_windows"))
-    tokDocs
-      .select(col("doc_id"),
-        greatest(size(col("toks")) - (window - 1), lit(0)).cast("long").as("n_windows"))
+    // n_windows needs only the token COUNT: a substring-free scan
+    // (`greatest(size(toks) - (window-1), 0)`, with NULL text → 0 exactly
+    // as greatest(NULL, 0) did)
+    src.map { case (id, text) =>
+        val nw = if (text == null) 0L
+          else math.max(TextKernel.lowerTokenCount(text) - (window - 1), 0).toLong
+        (id, nw)
+      }.toDF("doc_id", "n_windows")
       .join(dupPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
@@ -525,9 +537,14 @@ object Dedup {
     val toks = graft.text.TextPipeline.tokenize(text).map(_.toLowerCase)
     if (toks.isEmpty) return 0L
     val acc = new Array[Int](64)
-    toks.groupBy(identity).foreach { case (t, occs) =>
+    // distinct-token counts via one HashMap pass (the round-5
+    // `groupBy(identity)` allocated a Map of Lists per doc); per-bit
+    // integer adds are commutative, so iteration order is irrelevant —
+    // identical fingerprints
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    toks.foreach(t => counts.merge(t, 1, (a, b) => a + b))
+    counts.forEach { (t, w) =>
       val h = shingleHash64(t, 0)
-      val w = occs.length
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) acc(i) += w else acc(i) -= w

@@ -111,34 +111,29 @@ object Pipeline {
       maxBits: Int,
       blocks: Int): (DataFrame, () => Unit) = {
     import spark.implicits._
-    // one tokenize pass feeds all four signals; expressions are copied
-    // from TextOps.qualityScore/langId/repetitionFilter so the arithmetic
-    // (IEEE order included) is identical to the standalone operators
-    val toksLower = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    val staged = docs.select(col("doc_id"), col("text"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
-        .cast("long").as("n_words"),
-      toksLower.as("toks"))
-    val bigrams = when(size(col("toks")) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
-    val hits = size(filter(col("toks"),
-      t => array_contains(lit(TextOps.StopWords.toArray), t))).cast("double")
-    val feat = staged
-      .select(col("doc_id"), col("text"), col("n_words"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(col("toks")).cast("double").as("words"),
-        hits.as("hits"),
-        size(array_distinct(col("toks"))).cast("double").as("n_distinct"),
-        TextOps.maxMultiplicity(bigrams).cast("double").as("top_bigram"))
-      .select(col("doc_id"), col("text"), col("n_words"),
-        when(col("words") > 0, col("hits") / col("words"))
-          .otherwise(lit(0.0)).as("stopword_ratio"),
-        when(col("n_tokens") > 0, col("n_distinct") / col("n_tokens").cast("double"))
-          .otherwise(lit(0.0)).as("distinct_ratio"),
-        when(col("n_tokens") > 1, col("top_bigram") / (col("n_tokens") - 1).cast("double"))
-          .otherwise(lit(0.0)).as("top_bigram_frac"))
+    // one tokenize pass feeds all four signals, now as ONE typed char-scan
+    // kernel per row (TextKernel — round-6 port of the interpreted
+    // higher-order expressions; VERDICT r5 item 2). The integer counts and
+    // IEEE divisions are identical to the standalone operators. NULL-text
+    // rows are skipped here exactly as the expression filter dropped them
+    // (NULL n_words can never pass `n_words >= minWords`).
+    val feat = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val nWords = TextKernel.alnumRunCount(text).toLong
+            val s = TextKernel.repSignals(TextKernel.lowerTokens(text), needBigrams = true)
+            val n = s.nTokens
+            val stopR = if (n > 0) s.hits.toDouble / n.toDouble else 0.0
+            val dr = if (n > 0) s.nDistinct.toDouble / n.toDouble else 0.0
+            val tbf = if (n > 1) s.topBigram.toDouble / (n - 1).toDouble else 0.0
+            Iterator.single((id, text, nWords, stopR, dr, tbf))
+          }
+        }
+      }
+      .toDF("doc_id", "text", "n_words", "stopword_ratio",
+        "distinct_ratio", "top_bigram_frac")
     val filt = feat.filter(
       $"n_words" >= minWords && $"stopword_ratio" >= langThreshold &&
         !($"top_bigram_frac" > maxTopBigramFrac || $"distinct_ratio" < minDistinctRatio))
@@ -172,18 +167,25 @@ object Pipeline {
       maxBits: Int,
       blocks: Int): (DataFrame, () => Unit) = {
     import spark.implicits._
-    // q12's n_words and q13's stopword_ratio, as single expressions (the
-    // staged selects in TextOps compose the same ops — identical IEEE)
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    val words = size(toks).cast("double")
-    val hits = size(filter(toks,
-      t => array_contains(lit(TextOps.StopWords.toArray), t))).cast("double")
-    val feat = docs.select(
-      col("doc_id"),
-      col("text"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
-        .cast("long").as("n_words"),
-      when(words > 0, hits / words).otherwise(lit(0.0)).as("stopword_ratio"))
+    // q12's n_words and q13's stopword_ratio from one typed char-scan pass
+    // (TextKernel — identical counts/IEEE to the standalone operators);
+    // NULL-text rows skipped exactly as the filter dropped them
+    val feat = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val nWords = TextKernel.alnumRunCount(text).toLong
+            val toks = TextKernel.lowerTokens(text)
+            val stopR =
+              if (toks.length > 0)
+                TextKernel.stopHits(toks).toDouble / toks.length.toDouble
+              else 0.0
+            Iterator.single((id, text, nWords, stopR))
+          }
+        }
+      }
+      .toDF("doc_id", "text", "n_words", "stopword_ratio")
     val surv = feat
       .filter($"n_words" >= minWords && $"stopword_ratio" >= langThreshold)
       .cache() // read by simhash, the CC node universe, and the final join

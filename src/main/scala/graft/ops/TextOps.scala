@@ -9,31 +9,56 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace token count + word-ish token count (BPE-ish regex runs). */
-  def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      size(split(col("text"), " ", -1)).as("ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).as("word_tokens"),
-      length(col("text")).as("n_chars_computed"))
+  /** Whitespace token count + word-ish token count (BPE-ish regex runs).
+    * One typed char-scan pass per row (TextKernel) — the values are the
+    * exact `size(split(text," ",-1))` / `size(regexp_extract_all(...))` /
+    * `length(text)` integers of the round-5 expression version. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (text == null)
+            (id, None: Option[Int], None: Option[Int], None: Option[Int])
+          else {
+            var sp = 0
+            var i = 0
+            while (i < text.length) { if (text.charAt(i) == ' ') sp += 1; i += 1 }
+            (id, Some(sp + 1), Some(TextKernel.alnumRunCount(text)),
+              Some(text.codePointCount(0, text.length)))
+          }
+        }
+      }
+      .toDF("doc_id", "ws_tokens", "word_tokens", "n_chars_computed")
       .orderBy(col("doc_id"))
+  }
 
   /** Quality signals: length, word count, punctuation / digit / upper
-    * ratios, mean word length — the usual pre-training quality features. */
+    * ratios, mean word length — the usual pre-training quality features.
+    * ONE char scan per row (TextKernel.qualitySignals) instead of the
+    * round-5 four regex passes; integer counts and IEEE divisions are
+    * identical to the expression version (and the q12 oracle). */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val len = length(col("text")).cast("double")
-    val words = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))).cast("double")
-    val punct = size(regexp_extract_all(col("text"), lit("""[!-/:-@\[-`{-~]"""), lit(0))).cast("double")
-    val digits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
-    val uppers = size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0))).cast("double")
-    docs.select(
-      col("doc_id"),
-      len.cast("long").as("n_chars"),
-      words.cast("long").as("n_words"),
-      when(len > 0, punct / len).otherwise(lit(0.0)).as("punct_ratio"),
-      when(len > 0, digits / len).otherwise(lit(0.0)).as("digit_ratio"),
-      when(len > 0, uppers / len).otherwise(lit(0.0)).as("upper_ratio"),
-      when(words > 0, len / words).otherwise(lit(0.0)).as("chars_per_word"))
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (text == null)
+            (id, None: Option[Long], None: Option[Long], 0.0, 0.0, 0.0, 0.0)
+          else {
+            val q = TextKernel.qualitySignals(text)
+            val len = q.nChars.toDouble
+            val words = q.nWords.toDouble
+            (id, Some(q.nChars.toLong), Some(q.nWords.toLong),
+              if (len > 0) q.punct / len else 0.0,
+              if (len > 0) q.digits / len else 0.0,
+              if (len > 0) q.uppers / len else 0.0,
+              if (words > 0) len / words else 0.0)
+          }
+        }
+      }
+      .toDF("doc_id", "n_chars", "n_words", "punct_ratio", "digit_ratio",
+        "upper_ratio", "chars_per_word")
       .orderBy(col("doc_id"))
   }
 
@@ -42,25 +67,27 @@ object TextOps {
 
   /** Language-ID heuristic: English stop-word hit ratio over word tokens.
     * A real pipeline would use char-n-gram profiles; the heuristic is the
-    * n-gram-free SQL-expressible baseline. ONE regex tokenize pass + a
-    * codegen'd array filter (round 2 ran a second 14-way \b-alternation
-    * regex over the text for the stop-word count — the regex scan, not the
-    * membership test, is the hot part of this operator). */
+    * n-gram-free SQL-expressible baseline. Round 6: the tokenize + array
+    * `filter`/`array_contains` pass (the array filter is an interpreted
+    * higher-order expression) is now ONE typed char-scan + hash-set probe
+    * per row (TextKernel) with the identical hit/word counts and ratio. */
   def langId(docs: DataFrame, threshold: Double = 0.08): DataFrame = {
-    val stops = lit(StopWords.toArray)
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    docs.select(col("doc_id"), toks.as("toks"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("double").as("words"),
-        size(filter(col("toks"), t => array_contains(stops, t))).cast("double").as("hits"))
-      .select(
-        col("doc_id"),
-        when(col("words") > 0, col("hits") / col("words")).otherwise(lit(0.0)).as("stopword_ratio"))
-      .select(
-        col("doc_id"),
-        col("stopword_ratio"),
-        when(col("stopword_ratio") >= threshold, lit("en")).otherwise(lit("unknown")).as("lang_pred"))
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val ratio =
+            if (text == null) 0.0
+            else {
+              val toks = TextKernel.lowerTokens(text)
+              if (toks.length > 0)
+                TextKernel.stopHits(toks).toDouble / toks.length.toDouble
+              else 0.0
+            }
+          (id, ratio, if (ratio >= threshold) "en" else "unknown")
+        }
+      }
+      .toDF("doc_id", "stopword_ratio", "lang_pred")
       .orderBy(col("doc_id"))
   }
 
@@ -129,10 +156,40 @@ object TextOps {
     * cost is the document scan itself. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val bench = benchmark.select(explode(tokenNgrams(col("text"), n)).as("gram")).distinct()
-    corpus.select(col("doc_id"), explode(tokenNgrams(col("text"), n)).as("gram"))
-      .join(broadcast(bench), "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Round 6: the benchmark gram set is collected ONCE into a driver-side
+    // hash set and broadcast (same small-eval-set size contract the
+    // broadcast hash join relied on), and the corpus side probes it inside
+    // the SAME typed pass that builds the grams — the per-doc n_shared
+    // count never leaves its row. This deletes the corpus-side explode,
+    // the broadcast join AND the groupBy shuffle of the round-5 plan
+    // (guide §2.4 "remove shuffles outright" / §2.3 "shuffle keys, not
+    // payloads" — here: shuffle nothing), and replaces the interpreted
+    // gram `transform` with a char-scan kernel. Counts are identical:
+    // per-doc DISTINCT grams probed against the distinct benchmark grams.
+    val grams = benchmark.select(col("text")).as[String]
+      .mapPartitions { it =>
+        it.flatMap { t =>
+          import scala.jdk.CollectionConverters._
+          TextKernel.distinctGrams(t, n).asScala
+        }
+      }.collect()
+    val set = new java.util.HashSet[String](math.max(grams.length * 2, 16))
+    grams.foreach(set.add)
+    val bg = spark.sparkContext.broadcast(set)
+    corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val s = bg.value
+        it.flatMap { case (id, text) =>
+          val gs = TextKernel.distinctGrams(text, n)
+          var c = 0L
+          var i = 0
+          while (i < gs.size()) { if (s.contains(gs.get(i))) c += 1; i += 1 }
+          if (c > 0) Iterator.single((id, c)) else Iterator.empty
+        }
+      }
+      .toDF("doc_id", "n_shared")
       .orderBy(col("doc_id"))
   }
 
@@ -164,31 +221,31 @@ object TextOps {
       docs: DataFrame,
       maxTopBigramFrac: Double = 0.1,
       minDistinctRatio: Double = 0.3): DataFrame = {
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    val bigrams = when(size(col("toks")) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
-    docs.select(col("doc_id"), toks.as("toks"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("double").as("n_distinct"),
-        maxMultiplicity(col("toks")).cast("double").as("top_tok"),
-        maxMultiplicity(bigrams).cast("double").as("top_bigram"))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        when(col("n_tokens") > 0, col("n_distinct") / col("n_tokens").cast("double"))
-          .otherwise(lit(0.0)).as("distinct_ratio"),
-        when(col("n_tokens") > 0, col("top_tok") / col("n_tokens").cast("double"))
-          .otherwise(lit(0.0)).as("top_token_frac"),
-        when(col("n_tokens") > 1, col("top_bigram") / (col("n_tokens") - 1).cast("double"))
-          .otherwise(lit(0.0)).as("top_bigram_frac"))
-      .withColumn("verdict",
-        when(col("top_bigram_frac") > maxTopBigramFrac ||
-          col("distinct_ratio") < minDistinctRatio, lit("repetitive"))
-          .otherwise(lit("ok")))
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (text == null) {
+            // expression behavior on NULL text: n_tokens NULL, every
+            // ratio's `when` falls to the 0.0 else-branch, verdict from
+            // the zero ratios — replicated exactly
+            val verdict =
+              if (0.0 > maxTopBigramFrac || 0.0 < minDistinctRatio) "repetitive" else "ok"
+            (id, None: Option[Long], 0.0, 0.0, 0.0, verdict)
+          } else {
+            val s = TextKernel.repSignals(TextKernel.lowerTokens(text), needBigrams = true)
+            val n = s.nTokens
+            val dr = if (n > 0) s.nDistinct.toDouble / n.toDouble else 0.0
+            val ttf = if (n > 0) s.topTok.toDouble / n.toDouble else 0.0
+            val tbf = if (n > 1) s.topBigram.toDouble / (n - 1).toDouble else 0.0
+            val verdict =
+              if (tbf > maxTopBigramFrac || dr < minDistinctRatio) "repetitive" else "ok"
+            (id, Some(n.toLong), dr, ttf, tbf, verdict)
+          }
+        }
+      }
+      .toDF("doc_id", "n_tokens", "distinct_ratio", "top_token_frac",
+        "top_bigram_frac", "verdict")
       .orderBy(col("doc_id"))
   }
 

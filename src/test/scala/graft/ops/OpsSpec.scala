@@ -897,15 +897,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == grams("quick brown fox jumps over the lazy dog indeed").count(bg.contains))
   }
 
-  test("contamination plan: benchmark grams broadcast, no corpus-sized shuffle join") {
+  test("contamination plan: one linear corpus pass, no join, no corpus shuffle") {
+    // round 6: the benchmark gram set is a broadcast hash set probed inside
+    // the corpus-side kernel pass — the plan must contain NO join operator
+    // and NO shuffle of the corpus (the only exchange is the final
+    // orderBy's range partitioning of the already-tiny result)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val plan = TextOps.contamination(
       docs.filter(col("doc_id") % 50 =!= 7),
       docs.filter(col("doc_id") % 50 === 7), n = 4)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"benchmark side must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), "corpus side must never shuffle for the join")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not join at all:\n$plan")
+    assert(plan.contains("MapPartitions"), s"kernel pass missing:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"no hash shuffle may remain (round-5 had the groupBy exchange):\n$plan")
   }
 
   test("repetition filter: hand-computed signals and verdicts") {
