@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates (and deletes) a temp file. All payloads here are in-memory
+  // byte arrays, so the cache is pure per-row I/O overhead — identical
+  // bytes/pixels without it. Runs once per JVM at object load (the
+  // executor tasks all go through this object's methods).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(media_id: Long, kind: String, width: Int,
       height: Int, n_frames: Int, bytes: Long)
 
@@ -133,22 +140,72 @@ object Multimodal {
       .orderBy($"media_id", $"frame_idx")
   }
 
-  /** ImageIO decode → (width, height, Σr, Σg, Σb) integer sums. */
+  /** ImageIO decode → (width, height, Σr, Σg, Σb) integer sums.
+    * The decode is the REAL codec (ImageIO); the channel accumulation
+    * reads the decoded raster's byte buffer directly when the image is
+    * the standard PNG-decode layout (TYPE_3BYTE_BGR: one byte per
+    * channel, the exact values per-pixel `getRGB` would repack), and
+    * falls back to a bulk `getRGB` row fetch otherwise — identical sums,
+    * without a color-model conversion call per pixel. */
+  // One PNG ImageReader per thread, reused across rows: `ImageIO.read`
+  // re-runs the service-registry lookup and constructs a fresh reader per
+  // call. `setInput` fully resets reader state, and `read(0)` with the
+  // default param is exactly what `ImageIO.read` executes — same decoded
+  // raster. ignoreMetadata additionally skips ancillary-chunk parsing
+  // (pixel data is unaffected).
+  private val pngReaderLocal = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+  }
+
+  /** REAL ImageIO PNG decode with a thread-reused reader. */
+  private def readPng(png: Array[Byte]): java.awt.image.BufferedImage = {
+    val reader = pngReaderLocal.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
+  }
+
   private def decodePngSums(png: Array[Byte]): (Int, Int, Long, Long, Long) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val img = readPng(png)
+    val (r, g, b) = sumChannels(img)
+    (img.getWidth, img.getHeight, r, g, b)
+  }
+
+  /** (Σr, Σg, Σb) of a decoded image — raster-buffer fast path for the
+    * standard PNG-decode layout, bulk-getRGB fallback; same per-pixel
+    * channel bytes either way. */
+  private def sumChannels(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
     val (w, h) = (img.getWidth, img.getHeight)
     var r = 0L; var g = 0L; var b = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-        x += 1
+    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+      img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte]) {
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var i = 0
+      val n = w * h * 3
+      while (i < n) {
+        b += data(i) & 0xff; g += data(i + 1) & 0xff; r += data(i + 2) & 0xff
+        i += 3
       }
-      y += 1
+    } else {
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
     }
-    (w, h, r, g, b)
+    (r, g, b)
   }
 
   /** WAVE decode → (sample_rate, n_samples, Σv, Σ|v|) integer sums. */
@@ -203,23 +260,67 @@ object Multimodal {
     }.toDF("media_id", "png")
   }
 
+  /** Spec-conformant minimal PNG encoder: 8-bit truecolor, filter-0
+    * scanlines, one zlib-deflated IDAT. PNG is lossless, so ImageIO (the
+    * REAL decode path every feature op runs) recovers the exact input
+    * pixels — the decoded feature sums are unchanged by construction.
+    * This replaces `ImageIO.write` in the SYNTHESIS step only, which was
+    * the dominant per-row cost of q17/q18 (writer plumbing + default-level
+    * deflate per 16×16 tile). */
+  private def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    // raw scanline stream: filter byte 0 + w*3 RGB bytes per row
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      System.arraycopy(rgb, y * stride, raw, y * (1 + stride) + 1, stride)
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 128)
+    def be32(v: Int): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      bos.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      bos.write(tb)
+      bos.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      bos.write(be32(crc.getValue.toInt))
+    }
+    bos.write(Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    val defl = deflaterLocal.get()
+    defl.reset() // thread-reused native zlib state (init per call is hot)
+    val cbos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val dos = new java.util.zip.DeflaterOutputStream(cbos, defl)
+    dos.write(raw); dos.finish()
+    chunk("IDAT", cbos.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  private val deflaterLocal = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+  }
+
   /** One deterministic 16×16 RGB PNG from (text, id) — shared by the
-    * image-only synthesis (q23) and the kind-dispatched media store (q17). */
+    * image-only synthesis (q23) and the kind-dispatched media store (q17).
+    * Pixel values are the round-5 formula unchanged; only the container
+    * writer moved to the fast lossless encoder above. */
   private def encodePngRow(id: Long, text: String): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bytes = (text + id).getBytes("UTF-8")
+    val rgb = new Array[Byte](256 * 3)
     var i = 0
     while (i < 256) {
       val r = if (bytes.nonEmpty) bytes(i % bytes.length) & 0xff else 0
       val g = if (bytes.nonEmpty) bytes((i * 7 + 3) % bytes.length) & 0xff else 0
       val b = (id + i).toInt & 0xff
-      img.setRGB(i % 16, i / 16, (r << 16) | (g << 8) | b)
+      rgb(3 * i) = r.toByte; rgb(3 * i + 1) = g.toByte; rgb(3 * i + 2) = b.toByte
       i += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    encodePng(16, 16, rgb)
   }
 
   /** REAL decode + feature extraction + resize: ImageIO parses the PNG,
@@ -230,13 +331,9 @@ object Multimodal {
     images.select("media_id", "png").as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, png) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val img = readPng(png)
           val (w, h) = (img.getWidth, img.getHeight)
-          var r = 0L; var g = 0L; var b = 0L
-          for (y <- 0 until h; x <- 0 until w) {
-            val p = img.getRGB(x, y)
-            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-          }
+          val (r, g, b) = sumChannels(img)
           val n = (w * h).toDouble
           val thumb = new java.awt.image.BufferedImage(4, 4,
             java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -280,13 +377,31 @@ object Multimodal {
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    // canonical RIFF/WAVE container written directly (PCM16 mono 8 kHz):
+    // the exact sample bytes the AudioSystem WAVE writer emitted, without
+    // the per-row AudioInputStream/SPI plumbing — the REAL decode path
+    // (audioFeatures / decodeWavSums via javax.sound.sampled) parses it
+    // identically, which is what the q17/q29 oracles pin
+    val dataLen = pcm.length
+    val out = new Array[Byte](44 + dataLen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def tag(off: Int, t: String): Unit = {
+      val b = t.getBytes("US-ASCII"); System.arraycopy(b, 0, out, off, 4)
+    }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    out(20) = 1; out(21) = 0 // PCM
+    out(22) = 1; out(23) = 0 // mono
+    le32(24, 8000) // sample rate
+    le32(28, 16000) // byte rate
+    out(32) = 2; out(33) = 0 // block align
+    out(34) = 16; out(35) = 0 // bits/sample
+    tag(36, "data"); le32(40, dataLen)
+    System.arraycopy(pcm, 0, out, 44, dataLen)
+    out
   }
 
   /** REAL decode: AudioSystem parses the WAVE container, the PCM16 frames
@@ -351,19 +466,17 @@ object Multimodal {
     val bytes = (text + id).getBytes("UTF-8")
     val l = bytes.length
     val frames = (0 until nFrames).map { f =>
-      val img = new java.awt.image.BufferedImage(16, 16,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // same per-pixel formula as round 5; container via the fast
+      // lossless PNG encoder (see encodePng)
+      val rgb = new Array[Byte](256 * 3)
       var i = 0
       while (i < 256) {
-        val r = bytes((i + 3 * f) % l) & 0xff
-        val g = bytes((i * 7 + 3 + f) % l) & 0xff
-        val b = (id + i + f).toInt & 0xff
-        img.setRGB(i % 16, i / 16, (r << 16) | (g << 8) | b)
+        rgb(3 * i) = bytes((i + 3 * f) % l)
+        rgb(3 * i + 1) = bytes((i * 7 + 3 + f) % l)
+        rgb(3 * i + 2) = ((id + i + f) & 0xff).toByte
         i += 1
       }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
+      encodePng(16, 16, rgb)
     }
     val avih = riffChunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
@@ -403,19 +516,7 @@ object Multimodal {
     videos.select("media_id", "avi").as[(Long, Array[Byte])]
       .flatMap { case (mid, avi) =>
         riffVideoChunks(avi).iterator.zipWithIndex.map { case (png, f) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-          val (w, h) = (img.getWidth, img.getHeight)
-          var r = 0L; var g = 0L; var b = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
+          val (w, h, r, g, b) = decodePngSums(png)
           val n = (w * h).toDouble
           (mid, f, w, h, r / n, g / n, b / n)
         }
