@@ -764,6 +764,16 @@ object Dedup {
       case _ => df.unpersist(false); ()
     }
 
+  /** Above this many symmetric edge rows the cluster step runs the
+    * distributed Pregel loop; at or below it, a driver union-find over the
+    * already-materialized edge checkpoint (16 bytes/row collected — ≤
+    * ~3 MB) replaces `diameter` join+aggregate jobs with one broadcast
+    * join. Same gate philosophy as `MaxIsinIds`: near-dup EDGES are ≪
+    * corpus by construction, so the common case is tiny even when the
+    * node universe is 10^10 docs — and the node side NEVER leaves the
+    * cluster (only edge-endpoint ids, bounded by the gate, are collected). */
+  private val MaxDriverEdgeRows = 200000L
+
   private[ops] def dedupClustersImpl(
       spark: SparkSession,
       pairs: DataFrame,
@@ -786,6 +796,63 @@ object Dedup {
       .repartition(shuffleN, $"dst")
       .sortWithinPartitions($"dst")
       .localCheckpoint(true)
+    // Round-6 fast path: the edge checkpoint is already materialized, so
+    // its count is free — when it is gate-small, cluster on the driver.
+    // Semantics are EXACTLY the induced-subgraph CC the loop computes:
+    // the loop only ever propagates labels of dst ids that are in
+    // `nodes`, so edges touching out-of-universe ids are inert — the fast
+    // path reproduces that by keeping only edges whose endpoints survive
+    // the nodes semi-join below. min-id-per-component union-find is the
+    // loop's exact fixpoint.
+    val nSymRows = sym.count()
+    if (nSymRows <= MaxDriverEdgeRows) {
+      val rawEdges = sym.as[(Long, Long)].collect()
+      // which edge endpoints are actually in the node universe: one
+      // broadcast semi-join over nodes, collecting ≤ 2·edges ids
+      val endpointIds = rawEdges.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      val present: java.util.HashSet[java.lang.Long] = {
+        val epDf = spark.createDataset(endpointIds.toIndexedSeq).toDF("doc_id")
+        val s = new java.util.HashSet[java.lang.Long](endpointIds.length * 2)
+        nodes.select($"doc_id")
+          .join(broadcast(epDf), Seq("doc_id"), "left_semi")
+          .as[Long].collect().foreach(id => s.add(id))
+        s
+      }
+      // union-find with the min id as the representative
+      val parent = new java.util.HashMap[Long, Long](endpointIds.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != r) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      rawEdges.foreach { case (a, b) =>
+        if (present.contains(a) && present.contains(b)) {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+      }
+      val lbl = endpointIds.iterator
+        .filter(present.contains(_))
+        .map(id => (id, find(id)))
+        .filter { case (id, r) => id != r } // self-labels are the coalesce default
+        .toSeq
+      val lblDf = spark.createDataset(lbl).toDF("id", "clab")
+      val out = nodes.select($"doc_id".as("id"))
+        .join(broadcast(lblDf), Seq("id"), "left")
+        .select($"id".as("doc_id"),
+          coalesce($"clab", $"id").as("cluster_id"),
+          ($"id" === coalesce($"clab", $"id")).as("keep"))
+        .orderBy($"doc_id")
+      releaseCheckpoint(sym)
+      return (out, out) // nothing checkpoint-backed to release
+    }
     var labels = nodes.select($"doc_id".as("id"), $"doc_id".as("label"))
       .localCheckpoint(true)
     var changed = 1L
