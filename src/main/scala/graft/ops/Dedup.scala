@@ -664,6 +664,16 @@ object Dedup {
     * ngramJaccardPairs, which prunes candidates with MinHash LSH first).
     * Shingle arrays are sorted once per doc; each pair is one merge walk
     * (|union| = |a|+|b|−|∩|), so the inner loop allocates nothing. */
+  /** Row cap for the brute-force all-pairs fast paths: at or below it the
+    * per-doc features (shingle arrays / embeddings) are collected once and
+    * BROADCAST, and the O(n²) pair loop runs over `spark.range(n)` with
+    * nothing but the verdict rows ever materialized — the round-5 shape
+    * shipped BOTH feature arrays through a nested-loop join row per pair
+    * (n²·|features| join bytes for n²·24-byte results). Above the cap the
+    * join shape remains (these ops are documented bounded-input ground
+    * truth; the cap just keeps the driver safe if one is misused). */
+  private val MaxBruteRows = 20000
+
   def ngramJaccardBrute(
       spark: SparkSession,
       docs: DataFrame,
@@ -673,18 +683,44 @@ object Dedup {
     val sh = docs.select("doc_id", "text").as[(Long, String)]
       .map { case (id, t) => (id, shingles(t, shingleN).toArray.sorted) }
       .toDF("doc_id", "sh")
-    sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), $"doc_a" < $"doc_b")
-      .as[(Long, Array[String], Long, Array[String])]
-      .map { case (a, sa, b, sb) =>
-        val inter = sortedIntersectionSize(sa, sb)
-        val union = sa.length + sb.length - inter
-        val j = if (union == 0) 1.0 else inter.toDouble / union.toDouble
-        (a, b, j)
-      }
-      .toDF("doc_a", "doc_b", "jaccard")
-      .filter($"jaccard" >= threshold)
-      .orderBy($"doc_a", $"doc_b")
+    val head = sh.limit(MaxBruteRows + 1).as[(Long, Array[String])].collect()
+    if (head.length <= MaxBruteRows) {
+      // sort by id so position pairs (i, j>i) with distinct ids reproduce
+      // exactly the join's doc_a < doc_b pair set (duplicate ids pair each
+      // copy with every strictly-larger id, as the strict join did)
+      val sorted = head.sortBy(_._1)
+      val bc = spark.sparkContext.broadcast(sorted)
+      spark.range(sorted.length).as[Long]
+        .flatMap { i0 =>
+          val arr = bc.value
+          val i = i0.toInt
+          val (a, sa) = arr(i)
+          (i + 1 until arr.length).iterator.flatMap { j =>
+            val (b, sb) = arr(j)
+            if (a == b) Iterator.empty
+            else {
+              val inter = sortedIntersectionSize(sa, sb)
+              val union = sa.length + sb.length - inter
+              val jac = if (union == 0) 1.0 else inter.toDouble / union.toDouble
+              if (jac >= threshold) Iterator.single((a, b, jac)) else Iterator.empty
+            }
+          }
+        }
+        .toDF("doc_a", "doc_b", "jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    } else
+      sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+        .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), $"doc_a" < $"doc_b")
+        .as[(Long, Array[String], Long, Array[String])]
+        .map { case (a, sa, b, sb) =>
+          val inter = sortedIntersectionSize(sa, sb)
+          val union = sa.length + sb.length - inter
+          val j = if (union == 0) 1.0 else inter.toDouble / union.toDouble
+          (a, b, j)
+        }
+        .toDF("doc_a", "doc_b", "jaccard")
+        .filter($"jaccard" >= threshold)
+        .orderBy($"doc_a", $"doc_b")
   }
 
   /** N-gram-Jaccard near-dup pairs, bucketed by fingerprint-prefix to keep
@@ -718,19 +754,60 @@ object Dedup {
     * only — at corpus scale use embeddingNearDup's hyperplane buckets).
     * Pure Catalyst (`zip_with`/`aggregate` cosine), whole-stage codegen'd. */
   def embeddingNearDupExact(embeddings: DataFrame, threshold: Double): DataFrame = {
-    // norms once per vector (not per pair): cosine = dot/(‖a‖·‖b‖) with
-    // identical IEEE values, 3× fewer per-pair flops
-    val withNorm = embeddings.select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("emb"))
-      .select(col("vec_id"), col("emb"),
-        sqrt(Similarity.dotCol(col("emb"), col("emb"))).as("nrm"))
-    val l = withNorm.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val r = withNorm.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-    l.join(r, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (Similarity.dotCol(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .orderBy(col("vec_a"), col("vec_b"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val head = embeddings.select(col("vec_id"), col("embedding"))
+      .limit(MaxBruteRows + 1).as[(Long, Array[Float])].collect()
+    if (head.length <= MaxBruteRows) {
+      // broadcast (id, double-cast vector, norm), pair loop over range —
+      // same gate rationale as ngramJaccardBrute. The arithmetic is the
+      // exact dotCol/norm chain of the expression version: dot is a left
+      // fold in index order, norms once per vector, cosine =
+      // dot / (nrm_a * nrm_b), all in the identical IEEE order.
+      val sorted = head.sortBy(_._1).map { case (id, v) =>
+        val d = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+        var acc = 0.0
+        i = 0
+        while (i < d.length) { acc = acc + d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(acc))
+      }
+      val bc = spark.sparkContext.broadcast(sorted)
+      spark.range(sorted.length).as[Long]
+        .flatMap { i0 =>
+          val arr = bc.value
+          val i = i0.toInt
+          val (a, da, na) = arr(i)
+          (i + 1 until arr.length).iterator.flatMap { j =>
+            val (b, db, nb) = arr(j)
+            if (a == b) Iterator.empty
+            else {
+              var dot = 0.0
+              var k = 0
+              while (k < da.length) { dot = dot + da(k) * db(k); k += 1 }
+              val cos = dot / (na * nb)
+              if (cos >= threshold) Iterator.single((a, b, cos)) else Iterator.empty
+            }
+          }
+        }
+        .toDF("vec_a", "vec_b", "cosine")
+        .orderBy(col("vec_a"), col("vec_b"))
+    } else {
+      // norms once per vector (not per pair): cosine = dot/(‖a‖·‖b‖) with
+      // identical IEEE values, 3× fewer per-pair flops
+      val withNorm = embeddings.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("emb"))
+        .select(col("vec_id"), col("emb"),
+          sqrt(Similarity.dotCol(col("emb"), col("emb"))).as("nrm"))
+      val l = withNorm.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+      val r = withNorm.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+      l.join(r, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (Similarity.dotCol(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }
   }
 
   /** Connected components over near-dup pairs — the keeper-selection step
