@@ -140,11 +140,59 @@ object Dedup {
     sig
   }
 
+  /** `minHashSignature(shingles(text, n), k)` fused into one pass: the
+    * token windows are hashed as they are built (no Set[String] or
+    * intermediate shingle collection), deduplicated by their 64-bit
+    * residue x — equal shingle strings hash to equal x, and equal x
+    * values contribute identical minima, so the signature is the same by
+    * construction (an x collision between two distinct shingles would
+    * also have produced identical updates twice). */
+  private[ops] def signatureOfText(text: String, shingleN: Int, k: Int): Array[Long] = {
+    val toks = graft.text.TextPipeline.tokenize(text).map(_.toLowerCase)
+    val cs = coeffs(k)
+    val sig = Array.fill(k)(EmptySig)
+    if (toks.isEmpty) return sig
+    val md = md5Local.get()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    def update(s: String): Unit = {
+      md.reset()
+      val d = md.digest(("0:" + s).getBytes("UTF-8"))
+      val x = java.lang.Long.remainderUnsigned(
+        java.nio.ByteBuffer.wrap(d).getLong, DetHash.P)
+      if (seen.add(x)) {
+        var i = 0
+        while (i < k) {
+          val t = DetHash.mulModP(cs(i)._1, x) + cs(i)._2
+          val v = if (t >= DetHash.P) t - DetHash.P else t
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+    }
+    if (toks.length < shingleN) update(toks.mkString(" "))
+    else {
+      val arr = toks.toArray
+      var i = 0
+      while (i <= arr.length - shingleN) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < shingleN) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr(i + j))
+          j += 1
+        }
+        update(sb.toString)
+        i += 1
+      }
+    }
+    sig
+  }
+
   private def minHashSigs(
       spark: SparkSession, docs: DataFrame, shingleN: Int, k: Int): DataFrame = {
     import spark.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
-      .map { case (id, text) => (id, minHashSignature(shingles(text, shingleN), k)) }
+      .map { case (id, text) => (id, signatureOfText(text, shingleN, k)) }
       .toDF("doc_id", "sig")
   }
 
@@ -361,7 +409,12 @@ object Dedup {
 
   private def readMinHashMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
     import spark.implicits._
-    spark.read.parquet(s"$path/meta").as[(Int, Int, Int)].head()
+    // stamp-cached like the ANN metadata (Similarity.cachedLoad): meta is
+    // written once per build; repeated probes skip the per-call read job
+    Similarity.cachedLoad[(Integer, Integer, Integer)](spark, s"$path/meta") {
+      val t = spark.read.parquet(s"$path/meta").as[(Int, Int, Int)].head()
+      (Integer.valueOf(t._1), Integer.valueOf(t._2), Integer.valueOf(t._3))
+    } match { case (a, b, c) => (a.intValue(), b.intValue(), c.intValue()) }
   }
 
   /** Incremental growth: sign a NEW disjoint batch with the index's own
@@ -1007,8 +1060,12 @@ object Dedup {
       seed: Long = 7L,
       maxBucket: Int = 100000): DataFrame = {
     import spark.implicits._
-    val dims = embeddings.select(size(col("embedding"))).as[Int].head()
-    val planes = planesOpt.getOrElse(Similarity.adaptivePlanes(embeddings.count()))
+    // dims + corpus size in ONE job (round 5 ran head() then count());
+    // the dim of the first-encountered row equals head()'s on any
+    // fixed-dim embedding table
+    val (dims, nVecs) = embeddings
+      .agg(first(size(col("embedding"))), count(lit(1))).as[(Int, Long)].head()
+    val planes = planesOpt.getOrElse(Similarity.adaptivePlanes(nVecs))
     // deterministic ±1 hyperplanes (DetHash.signPlanes): engine-reproducible,
     // so the q24 DuckDB oracle recomputes the identical buckets
     val hyper = DetHash.signPlanes(planes, dims, seed)
@@ -1054,15 +1111,34 @@ object Dedup {
           (i + 1 until s.length).iterator.map(j => (s(i), s(j))))
       }
       .toDF("vec_a", "vec_b")
-    val withNorm = embeddings.select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("emb"))
-      .select(col("vec_id"), col("emb"),
-        sqrt(Similarity.dotCol(col("emb"), col("emb"))).as("nrm"))
+    // round 6: the cast/norm pass and the per-pair cosine ran as
+    // interpreted transform/aggregate expressions over EVERY embedding row
+    // (twice — once per join side); now one typed pass each with the
+    // identical IEEE chain (cast-to-double, left-fold dot, sqrt;
+    // cosine = dot / (nrm_a * nrm_b))
+    val withNorm = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val d = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+        var acc = 0.0
+        i = 0
+        while (i < d.length) { acc = acc + d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(acc))
+      }
+      .toDF("vec_id", "emb", "nrm")
     cands
       .join(withNorm.toDF("vec_a", "emb_a", "nrm_a"), Seq("vec_a"))
       .join(withNorm.toDF("vec_b", "emb_b", "nrm_b"), Seq("vec_b"))
-      .select($"vec_a", $"vec_b",
-        (Similarity.dotCol($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")).as("cosine"))
+      .select($"vec_a", $"vec_b", $"emb_a", $"nrm_a", $"emb_b", $"nrm_b")
+      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
+      .map { case (a, b, da, na, db, nb) =>
+        var dot = 0.0
+        var i = 0
+        while (i < da.length) { dot = dot + da(i) * db(i); i += 1 }
+        (a, b, dot / (na * nb))
+      }
+      .toDF("vec_a", "vec_b", "cosine")
       .filter($"cosine" >= threshold)
       .orderBy($"vec_a", $"vec_b")
   }
