@@ -232,9 +232,15 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     }
 
     runStage(Tables.Blocks, resume, metrics) {
+      // positions are NOT part of built blocks (v5 layout) — pruning the
+      // positions_vb column out of this scan skips decoding the largest
+      // column of the postings table for all ~rows of it (guide §6:
+      // verify ReadSchema lists only what is used). Split boundaries are
+      // computed from file sizes, not read schema, so the term-clustered
+      // row runs (and the resulting blocks) are byte-identical.
       val blocks = blockify(io.read(Tables.Postings)
-        .select("term", "docId", "tf", "doc_len", "positions_vb")
-        .as[PostingRow])
+        .select("term", "docId", "tf", "doc_len")
+        .as[(String, Long, Int, Int)])
       io.write(blocks.toDF(), Tables.Blocks, sortCols = Seq("term", "min_doc"))
     }
 
@@ -244,20 +250,21 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
   /** (term, docId)-sorted posting rows → delta+varbyte block-max cells
     * (≤ blockSize postings per block, scoring-only: positions stay in the
     * postings table). Rows must arrive term-clustered within each split. */
-  private def blockify(postings: Dataset[PostingRow]): Dataset[IndexBlock] = {
+  private def blockify(
+      postings: Dataset[(String, Long, Int, Int)]): Dataset[IndexBlock] = {
     val bs = blockSize
     postings.mapPartitions { iter =>
       new Iterator[IndexBlock] {
         private val it = iter.buffered
         def hasNext: Boolean = it.hasNext
         def next(): IndexBlock = {
-          val term = it.head.term
+          val term = it.head._1
           val buf = scala.collection.mutable.ArrayBuffer.empty[VarByte.Posting]
           var maxTf = 0; var minDl = Int.MaxValue
-          while (it.hasNext && it.head.term == term && buf.size < bs) {
-            val p = it.next()
-            maxTf = math.max(maxTf, p.tf); minDl = math.min(minDl, p.doc_len)
-            buf += VarByte.Posting(p.docId, p.tf, p.doc_len, Array.empty)
+          while (it.hasNext && it.head._1 == term && buf.size < bs) {
+            val (_, docId, tf, docLen) = it.next()
+            maxTf = math.max(maxTf, tf); minDl = math.min(minDl, docLen)
+            buf += VarByte.Posting(docId, tf, docLen, Array.empty)
           }
           IndexBlock(term, buf.head.docId, buf.last.docId, buf.size,
             maxTf, minDl, VarByte.encodeBlock(buf.toSeq))
@@ -329,8 +336,8 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
     }
     timed(Tables.Blocks) {
       io.replace(blockify(io.read(Tables.Postings)
-        .select("term", "docId", "tf", "doc_len", "positions_vb")
-        .as[PostingRow]).toDF(), Tables.Blocks)
+        .select("term", "docId", "tf", "doc_len")
+        .as[(String, Long, Int, Int)]).toDF(), Tables.Blocks)
     }
     if (hasDeletes) {
       timed(Tables.DocDict) {
@@ -540,7 +547,9 @@ final class IndexBuilder(spark: SparkSession, io: TableIO, blockSize: Int = 4096
       .cache()
     io.appendTagged(sortedDelta, Tables.Postings, tag)
 
-    io.appendTagged(blockify(sortedDelta.as[PostingRow]).toDF(), Tables.Blocks, tag)
+    io.appendTagged(blockify(sortedDelta
+      .select("term", "docId", "tf", "doc_len")
+      .as[(String, Long, Int, Int)]).toDF(), Tables.Blocks, tag)
 
     // weighted incremental mean — the reference's updateMetadataDocument
     val (n2, sum2) = dictDelta.agg(count(lit(1)), sum(col("doc_len")))
