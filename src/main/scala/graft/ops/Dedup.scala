@@ -288,6 +288,11 @@ object Dedup {
     * semi-join (no driver collect, still never widens the join input). */
   private val MaxIsinIds = 10000
 
+  /** Above this many distinct batch (band, bucket) keys the dedup-batch
+    * corpus prefilter switches from an exact collected hash set (~12
+    * bytes/key broadcast) to the adaptive Bloom filter. */
+  private val MaxExactPrefilterKeys = 500000
+
   /** est_jaccard = matching signature components / k, per candidate pair;
     * pairs ≪ docs so AQE broadcasts the pair side of both joins.
     *
@@ -540,12 +545,31 @@ object Dedup {
     val (shingleN, k, bands) = readMinHashMeta(spark, indexPath)
     val newSigs = minHashSigs(spark, newDocs, shingleN, k).cache()
     val newBands = bandRows(spark, newSigs, k, bands).cache()
-    val nKeys = newBands.count() // populates both caches
+    // Corpus-side prefilter on the batch's (band, bucket) keys. Round 6:
+    // when the DISTINCT key set is gate-small (the daily-batch common
+    // case) it is collected exactly and probed as a broadcast hash set —
+    // ONE job (which also populates both caches) instead of the round-5
+    // count + bloom-build pair, and zero false positives. Above the gate
+    // the Bloom filter remains (a 10M-doc batch must not collect 40M
+    // keys). Results are identical either way: neither filter has false
+    // negatives, and false positives only admit corpus rows whose
+    // buckets the `has_new` gate drops.
     val keyCol = xxhash64(col("band"), col("bucket"))
-    val bf = newBands.select(keyCol.as("bk"))
-      .stat.bloomFilter("bk", math.max(nKeys, 1L), 0.01)
-    val bBf = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((x: Long) => bBf.value.mightContain(x))
+    val keyArr = newBands.select($"band", $"bucket").distinct()
+      .limit(MaxExactPrefilterKeys + 1).as[(Int, Long)].collect()
+    val mightContainKey: org.apache.spark.sql.Column =
+      if (keyArr.length <= MaxExactPrefilterKeys) {
+        val bSet = spark.sparkContext.broadcast(keyArr.toSet)
+        val f = udf((b: Int, h: Long) => bSet.value.contains((b, h)))
+        f(col("band"), col("bucket"))
+      } else {
+        val nKeys = newBands.count()
+        val bf = newBands.select(keyCol.as("bk"))
+          .stat.bloomFilter("bk", math.max(nKeys, 1L), 0.01)
+        val bBf = spark.sparkContext.broadcast(bf)
+        val mightContain = udf((x: Long) => bBf.value.mightContain(x))
+        mightContain(keyCol)
+      }
     // Replay robustness (round-4 ADVICE): corpus rows whose doc_id is in
     // the batch are the batch's OWN previously-appended copies (an
     // at-least-once replay after the append committed). Excluding them
@@ -556,7 +580,7 @@ object Dedup {
     // nothing, so results are bit-identical.
     val newIds = newSigs.select($"doc_id")
     val corpusBands = Similarity.readLive(spark, indexPath, "buckets", "doc_id")
-      .filter(mightContain(keyCol))
+      .filter(mightContainKey)
       .join(newIds, Seq("doc_id"), "left_anti")
     val members = newBands
       .select($"band", $"bucket", $"doc_id", lit(true).as("is_new"))
