@@ -64,17 +64,16 @@ object Dedup {
     val occ = dh.groupBy(col("h")).agg(sum(col("c")).as("occ"))
     val dupPerDoc = dh.join(occ.filter(col("occ") > 1), Seq("h"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_dup_windows"))
-    // n_windows = Σ_h c per doc, i.e. the SAME aggregated dh subtree (its
-    // exchange is reused) — round 5 re-tokenized the whole corpus a
-    // second time just to count windows. Docs with no window rows (short
-    // or NULL text) coalesce to 0 exactly as `greatest(size-9, 0)` /
-    // greatest(NULL, 0) did.
-    val winTotals = dh.groupBy(col("doc_id")).agg(sum(col("c")).as("nw"))
-    docs.select(col("doc_id"))
-      .join(winTotals, Seq("doc_id"), "left")
+    // n_windows needs only the token COUNT: a substring-free scan
+    // (`greatest(size(toks) - (window-1), 0)`, with NULL text → 0 exactly
+    // as greatest(NULL, 0) did)
+    src.map { case (id, text) =>
+        val nw = if (text == null) 0L
+          else math.max(TextKernel.lowerTokenCount(text) - (window - 1), 0).toLong
+        (id, nw)
+      }.toDF("doc_id", "n_windows")
       .join(dupPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("nw"), lit(0L)).as("n_windows"),
+      .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
       .withColumn("dup_frac",
         when(col("n_windows") > 0,
