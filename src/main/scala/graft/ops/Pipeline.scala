@@ -63,6 +63,10 @@ object Pipeline {
     * corpus, so only survivors pay the gram explode. The arithmetic of
     * every stage is bit-identical to its standalone operator.
     *
+    * NOTE: the unmanaged frame is backed by the survivor cache and the
+    * final CC checkpoint (same hazard as trainingCorpus) — long-lived
+    * sessions should consume via hygieneCorpusManaged.
+    *
     * @return (doc_id, n_words, stopword_ratio, distinct_ratio,
     *         top_bigram_frac, cluster_id, n_members, bucket, split, shard)
     *         — one row per surviving keeper.
