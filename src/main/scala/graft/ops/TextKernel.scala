@@ -236,6 +236,16 @@ private[graft] object TextKernel {
     out
   }
 
+  /** `array_sort`'s comparator for strings: UTF8String binary order =
+    * unsigned lexicographic comparison of the UTF-8 bytes (equal to
+    * String.compareTo for ASCII; differs for some non-ASCII, so the
+    * kernel must use THIS order, not the JVM's UTF-16 order). */
+  val utf8Compare: java.util.Comparator[String] = new java.util.Comparator[String] {
+    def compare(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  }
+
   /** The q48 window fingerprint: `conv(substring(md5(win), 1, 15), 16, 10)
     * ::long` = the top 60 bits of the md5 of the UTF-8 bytes of the
     * space-joined `window`-token span (first 15 hex nibbles = first-8-

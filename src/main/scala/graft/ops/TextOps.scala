@@ -92,13 +92,39 @@ object TextOps {
   }
 
   /** Document fingerprint: md5 over the sorted distinct lowercase word set
-    * — an order-insensitive content fingerprint for near-dup bucketing. */
-  def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      md5(concat_ws(" ", array_sort(array_distinct(
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))))).as("fingerprint"))
+    * — an order-insensitive content fingerprint for near-dup bucketing.
+    * Round 6: `array_distinct`/`array_sort` are interpreted expressions —
+    * ported to the typed kernel with the identical value chain: distinct
+    * tokens, sorted in `array_sort`'s UTF8String BINARY order (unsigned
+    * byte comparison — TextKernel.utf8Compare; equal to String.compareTo
+    * on ASCII), space-joined, md5-hex. NULL/empty text folds to md5("")
+    * exactly as `concat_ws` (never-null) did. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks: Array[String] =
+            if (text == null) Array.empty else TextKernel.lowerTokens(text)
+          val distinct = new java.util.LinkedHashSet[String]()
+          toks.foreach(distinct.add)
+          val arr = distinct.toArray(new Array[String](distinct.size))
+          java.util.Arrays.sort(arr, TextKernel.utf8Compare)
+          val joined = arr.mkString(" ")
+          md.reset()
+          val d = md.digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new java.lang.StringBuilder(32)
+          d.foreach { b =>
+            sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(b & 0xf, 16))
+          }
+          (id, sb.toString)
+        }
+      }
+      .toDF("doc_id", "fingerprint")
       .orderBy(col("doc_id"))
+  }
 
   /** Deterministic train/val/test split + shard assignment — the step a
     * training pipeline ends with. The bucket is a salt-keyed md5 of the

@@ -114,6 +114,15 @@ class TextKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint ≡ md5(concat_ws(array_sort(array_distinct(tokens))))") {
+    val expr = df.select($"doc_id",
+        md5(concat_ws(" ", array_sort(array_distinct(
+          regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)))))).as("f"))
+      .as[(Long, String)].collect().toMap
+    val got = TextOps.fingerprint(df).as[(Long, String)].collect().toMap
+    assert(got == expr)
+  }
+
   test("windowHashes ≡ conv(substring(md5(window), 1, 15), 16, 10)") {
     val window = 3
     val toks = regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0))
