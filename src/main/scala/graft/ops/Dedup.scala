@@ -254,11 +254,61 @@ object Dedup {
     df.join(sizes, keys, "left_semi")
   }
 
+  /** Above this many banding/keying rows the in-bucket pair search runs
+    * the distributed group chain; at or below it the rows (≤ ~24 bytes
+    * each, ≤ ~5 MB) are collected once and the grouping + cap + pair
+    * emission + dedup run on the driver — one job instead of the
+    * 4-shuffle groupBy/semi-join/collect_list/dropDuplicates cascade.
+    * Same gate philosophy (and the same bucket-cap semantics, replicated
+    * exactly) as MaxIsinIds / MaxDriverEdgeRows; a 10M-doc corpus blows
+    * the gate and keeps the skew-capped distributed path. */
+  private val MaxDriverBandRows = 200000
+
+  /** In-bucket candidate pairs of a grouped row set, driver-side: the
+    * EXACT semantics of keepMidSizedGroups → collect_list → sorted pair
+    * loop → dropDuplicates (groups of 2..maxBucket members only, ids
+    * sorted, i<j pairs, first-seen dedup). */
+  private def driverPairs[K](
+      rows: Iterable[(K, Long)], maxBucket: Int): Array[(Long, Long)] = {
+    val groups = new java.util.HashMap[K, scala.collection.mutable.ArrayBuffer[Long]]()
+    rows.foreach { case (k, id) =>
+      var b = groups.get(k)
+      if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Long](4); groups.put(k, b) }
+      b += id
+    }
+    val seen = new java.util.HashSet[(Long, Long)]()
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    groups.values.forEach { ids =>
+      if (ids.length >= 2 && ids.length <= maxBucket) {
+        val s = ids.toArray
+        java.util.Arrays.sort(s)
+        var i = 0
+        while (i < s.length) {
+          var j = i + 1
+          while (j < s.length) {
+            val p = (s(i), s(j))
+            if (seen.add(p)) out += p
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    out.toArray
+  }
+
   /** Candidate pairs from banding rows: size-gated buckets, in-bucket
-    * pairs, skew-capped before materialization. */
+    * pairs, skew-capped before materialization; driver fast path below
+    * the row gate. */
   private def pairsFromBandRows(
       spark: SparkSession, banded: DataFrame, maxBucket: Int): DataFrame = {
     import spark.implicits._
+    val head = banded.select($"band", $"bucket", $"doc_id")
+      .limit(MaxDriverBandRows + 1).as[(Int, Long, Long)].collect()
+    if (head.length <= MaxDriverBandRows) {
+      val pairs = driverPairs(head.iterator.map(r => ((r._1, r._2), r._3)).toIterable, maxBucket)
+      return spark.createDataset(pairs.toIndexedSeq).toDF("doc_a", "doc_b")
+    }
     keepMidSizedGroups(banded, Seq("band", "bucket"), maxBucket)
       .groupBy($"band", $"bucket")
       .agg(collect_list($"doc_id").as("ids"))
@@ -585,20 +635,55 @@ object Dedup {
     val members = newBands
       .select($"band", $"bucket", $"doc_id", lit(true).as("is_new"))
       .union(corpusBands.select($"band", $"bucket", $"doc_id", lit(false).as("is_new")))
-    val cands = keepMidSizedGroups(members, Seq("band", "bucket"), maxBucket)
-      .groupBy($"band", $"bucket")
-      .agg(collect_list(struct($"doc_id", $"is_new")).as("ms"))
-      .filter(exists($"ms", m => m.getField("is_new")))
-      .select($"ms").as[Seq[(Long, Boolean)]]
-      .flatMap { ms =>
-        val s = ms.sortBy(_._1).toArray // List indexing is O(k) — see above
-        s.indices.iterator.flatMap(i =>
-          (i + 1 until s.length).iterator
-            .filter(j => s(i)._2 || s(j)._2) // pairs touching a new doc only
-            .map(j => (s(i)._1, s(j)._1)))
-      }
-      .toDF("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+    // driver fast path below the row gate — the exact cap + has-new-member
+    // gate + new-touching-pair + dedup semantics of the chain below
+    val headMembers = members.limit(MaxDriverBandRows + 1)
+      .as[(Int, Long, Long, Boolean)].collect()
+    val cands =
+      if (headMembers.length <= MaxDriverBandRows) {
+        val groups = new java.util.HashMap[(Int, Long),
+          scala.collection.mutable.ArrayBuffer[(Long, Boolean)]]()
+        headMembers.foreach { case (b, bk, id, isNew) =>
+          val k = (b, bk)
+          var buf = groups.get(k)
+          if (buf == null) {
+            buf = new scala.collection.mutable.ArrayBuffer[(Long, Boolean)](4)
+            groups.put(k, buf)
+          }
+          buf += ((id, isNew))
+        }
+        val seen = new java.util.HashSet[(Long, Long)]()
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        groups.values.forEach { ms =>
+          if (ms.length >= 2 && ms.length <= maxBucket && ms.exists(_._2)) {
+            val s = ms.sortBy(_._1).toArray
+            var i = 0
+            while (i < s.length) {
+              var j = i + 1
+              while (j < s.length) {
+                if ((s(i)._2 || s(j)._2) && seen.add((s(i)._1, s(j)._1)))
+                  out += ((s(i)._1, s(j)._1))
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        spark.createDataset(out.toIndexedSeq).toDF("doc_a", "doc_b")
+      } else keepMidSizedGroups(members, Seq("band", "bucket"), maxBucket)
+        .groupBy($"band", $"bucket")
+        .agg(collect_list(struct($"doc_id", $"is_new")).as("ms"))
+        .filter(exists($"ms", m => m.getField("is_new")))
+        .select($"ms").as[Seq[(Long, Boolean)]]
+        .flatMap { ms =>
+          val s = ms.sortBy(_._1).toArray // List indexing is O(k) — see above
+          s.indices.iterator.flatMap(i =>
+            (i + 1 until s.length).iterator
+              .filter(j => s(i)._2 || s(j)._2) // pairs touching a new doc only
+              .map(j => (s(i)._1, s(j)._1)))
+        }
+        .toDF("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
     // same replay rule for the estimate: the index copy of a replayed
     // batch doc would duplicate its signature row and multiply pair rows
     val allSigs = Similarity.readLive(spark, indexPath, "sigs", "doc_id")
@@ -693,6 +778,46 @@ object Dedup {
           (ci, key, id, h)
         }
       }.toDF("combo", "key", "doc_id", "simhash")
+    // driver fast path below the row gate (same exact cap/pair/hamming/
+    // dedup semantics as the distributed chain below — hamming is a pair
+    // function, identical in every bucket copy, so first-seen dedup
+    // matches dropDuplicates)
+    val head = keyed.limit(MaxDriverBandRows + 1)
+      .as[(Int, Long, Long, Long)].collect()
+    if (head.length <= MaxDriverBandRows) {
+      val groups = new java.util.HashMap[(Int, Long),
+        scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+      head.foreach { case (ci, key, id, h) =>
+        val k = (ci, key)
+        var b = groups.get(k)
+        if (b == null) {
+          b = new scala.collection.mutable.ArrayBuffer[(Long, Long)](4)
+          groups.put(k, b)
+        }
+        b += ((id, h))
+      }
+      val seen = new java.util.HashSet[(Long, Long)]()
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      groups.values.forEach { ms =>
+        if (ms.length >= 2 && ms.length <= maxBucket) {
+          val s = ms.sortBy(_._1).toArray
+          var i = 0
+          while (i < s.length) {
+            var j = i + 1
+            while (j < s.length) {
+              val h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+              if (h <= maxBits && seen.add((s(i)._1, s(j)._1)))
+                out += ((s(i)._1, s(j)._1, h))
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      return spark.createDataset(out.toIndexedSeq)
+        .toDF("doc_a", "doc_b", "hamming")
+        .orderBy($"doc_a", $"doc_b")
+    }
     keepMidSizedGroups(keyed, Seq("combo", "key"), maxBucket)
       .groupBy($"combo", $"key")
       .agg(collect_list(struct($"doc_id", $"simhash")).as("members"))
@@ -1125,16 +1250,27 @@ object Dedup {
       threshold: Double,
       maxBucket: Int): DataFrame = {
     import spark.implicits._
-    val cands = keepMidSizedGroups(bucketed.select($"vec_id", $"bucket"),
-        Seq("bucket"), maxBucket)
-      .groupBy($"bucket").agg(collect_list($"vec_id").as("ids"))
-      .select($"ids").as[Seq[Long]]
-      .flatMap { ids =>
-        val s = ids.sorted.toArray // List indexing is O(k) — see above
-        s.indices.iterator.flatMap(i =>
-          (i + 1 until s.length).iterator.map(j => (s(i), s(j))))
-      }
-      .toDF("vec_a", "vec_b")
+    // driver fast path below the row gate — identical cap/pair/dedup
+    // semantics (single-probe buckets are disjoint, but first-seen dedup
+    // is harmless and matches the distributed shape's contract)
+    val headRows = bucketed.select($"bucket", $"vec_id")
+      .limit(MaxDriverBandRows + 1).as[(Long, Long)].collect()
+    val cands =
+      if (headRows.length <= MaxDriverBandRows)
+        spark.createDataset(
+            driverPairs(headRows.iterator.map(r => (r._1, r._2)).toIterable, maxBucket)
+              .toIndexedSeq)
+          .toDF("vec_a", "vec_b")
+      else keepMidSizedGroups(bucketed.select($"vec_id", $"bucket"),
+          Seq("bucket"), maxBucket)
+        .groupBy($"bucket").agg(collect_list($"vec_id").as("ids"))
+        .select($"ids").as[Seq[Long]]
+        .flatMap { ids =>
+          val s = ids.sorted.toArray // List indexing is O(k) — see above
+          s.indices.iterator.flatMap(i =>
+            (i + 1 until s.length).iterator.map(j => (s(i), s(j))))
+        }
+        .toDF("vec_a", "vec_b")
     // round 6: the cast/norm pass and the per-pair cosine ran as
     // interpreted transform/aggregate expressions over EVERY embedding row
     // (twice — once per join side); now one typed pass each with the
